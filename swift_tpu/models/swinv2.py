@@ -1,0 +1,337 @@
+"""SwinV2 windowed-attention transformer — the flagship backbone.
+
+Re-designed TPU-first from the behavior of the reference SwinV2
+(reference: src/swift/models/swinv2.py:254-330):
+
+  * channels-last NHWC layout, batch kept separate from the window axis so
+    per-sample conditioning broadcasts over windows (no repeat_interleave,
+    reference swinv2.py:181-184);
+  * cosine attention (L2-normalized q,k with a learned per-head logit scale
+    clamped at log(100), reference swinv2.py:116-127) with fp32 softmax and
+    bf16 MXU matmuls;
+  * SwiGLU feed-forward with hidden = int(8/3 · dim) (reference :160);
+  * post-norm residual blocks with AdaLN modulation (ModulatedNorm,
+    reference :77-86, :211-212);
+  * sinusoidal timestep embedding with the EDM sin/cos flip (reference
+    :44-60) scaled by ``timestep_weight``;
+  * zero-init for modulation and output-head weights (reference :295-303).
+
+Everything is a pure function of the parameter pytree; the optional
+``jvp`` flag selects an attention path guaranteed to have a forward-mode
+AD rule (used by the sCM loss through ``jax.jvp``).
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Any, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from swift_tpu.ops.embeddings import timestep_embedding
+from swift_tpu.ops.windows import cyclic_shift, window_partition, window_reverse
+
+Dtype = Any
+
+_TRUNC02 = nn.initializers.truncated_normal(stddev=0.02)
+_ZEROS = nn.initializers.zeros_init()
+
+
+def _as_2tuple(v) -> tuple[int, int]:
+    if isinstance(v, int):
+        return (v, v)
+    v = tuple(int(i) for i in v)
+    assert len(v) == 2
+    return v
+
+
+class ModulatedNorm(nn.Module):
+    """LayerNorm + AdaLN scale/shift from the conditioning vector.
+
+    Matches reference swinv2.py:77-86 (used post-norm, :101,:138).
+    """
+
+    dim: int
+    eps: float = 1e-6
+    dtype: Dtype = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, t: jnp.ndarray) -> jnp.ndarray:
+        # LayerNorm statistics in fp32 for stability; output in compute dtype.
+        x = nn.LayerNorm(epsilon=self.eps, dtype=self.dtype, name="norm")(x)
+        mod = nn.Dense(
+            2 * self.dim,
+            kernel_init=_ZEROS,
+            bias_init=_ZEROS,
+            dtype=self.dtype,
+            name="modulation",
+        )(t)
+        scale, shift = jnp.split(mod, 2, axis=-1)
+        # x: (B, ..., N, D); t-derived scale/shift: (B, D) -> broadcast over
+        # window/token axes.
+        extra = x.ndim - scale.ndim
+        scale = scale.reshape(scale.shape[0], *(1,) * extra, scale.shape[-1])
+        shift = shift.reshape(shift.shape[0], *(1,) * extra, shift.shape[-1])
+        return x * (1 + scale) + shift
+
+
+class FeedForward(nn.Module):
+    """SwiGLU feed-forward, post-norm (reference swinv2.py:89-102)."""
+
+    dim: int
+    hidden_dim: int
+    dtype: Dtype = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, t: jnp.ndarray) -> jnp.ndarray:
+        gate_up = nn.Dense(
+            2 * self.hidden_dim,
+            use_bias=False,
+            kernel_init=_TRUNC02,
+            dtype=self.dtype,
+            name="w1",
+        )(x)
+        gate, up = jnp.split(gate_up, 2, axis=-1)
+        x = nn.Dense(
+            self.dim,
+            use_bias=False,
+            kernel_init=_TRUNC02,
+            dtype=self.dtype,
+            name="w2",
+        )(jax.nn.silu(gate) * up)
+        return ModulatedNorm(self.dim, dtype=self.dtype, name="norm")(x, t)
+
+
+class WindowAttention(nn.Module):
+    """Cosine attention over (B, nW, n, D) windows, post-norm.
+
+    Reference swinv2.py:105-139. The softmax runs in fp32; the two matmuls
+    run in bf16 on the MXU with fp32 accumulation.
+    """
+
+    dim: int
+    heads: int
+    head_dim: int
+    dtype: Dtype = jnp.bfloat16
+
+    @nn.compact
+    def __call__(
+        self, x: jnp.ndarray, t: jnp.ndarray, jvp: bool = False
+    ) -> jnp.ndarray:
+        inner = self.heads * self.head_dim
+        qkv = nn.Dense(
+            inner * 3,
+            use_bias=False,
+            kernel_init=_TRUNC02,
+            dtype=self.dtype,
+            name="to_qkv",
+        )(x)
+        B, nW, n, _ = qkv.shape
+        qkv = qkv.reshape(B, nW, n, self.heads, 3 * self.head_dim)
+        q, k, v = jnp.split(qkv, 3, axis=-1)
+
+        # learned per-head log scale, init log(10), clamped at log(100)
+        # (reference swinv2.py:116,125).
+        logit_scale = self.param(
+            "scale",
+            lambda key, shape: jnp.full(shape, math.log(10.0), jnp.float32),
+            (self.heads,),
+        )
+        logit_scale = jnp.exp(jnp.clip(logit_scale, max=math.log(100.0)))
+
+        # cosine attention: normalize in fp32, then bf16 matmul w/ f32 accum.
+        q = q.astype(jnp.float32)
+        k = k.astype(jnp.float32)
+        q = q * jax.lax.rsqrt(jnp.sum(q * q, axis=-1, keepdims=True) + 1e-12)
+        k = k * jax.lax.rsqrt(jnp.sum(k * k, axis=-1, keepdims=True) + 1e-12)
+        q = q * logit_scale[None, None, None, :, None]
+
+        attn = jnp.einsum(
+            "bwnhd,bwmhd->bwhnm",
+            q.astype(self.dtype),
+            k.astype(self.dtype),
+            preferred_element_type=jnp.float32,
+        )
+        attn = jax.nn.softmax(attn, axis=-1)
+        out = jnp.einsum(
+            "bwhnm,bwmhd->bwnhd",
+            attn.astype(self.dtype),
+            v,
+            preferred_element_type=jnp.float32,
+        ).astype(self.dtype)
+        out = out.reshape(B, nW, n, inner)
+
+        out = nn.Dense(
+            self.dim,
+            use_bias=False,
+            kernel_init=_TRUNC02,
+            dtype=self.dtype,
+            name="wo",
+        )(out)
+        return ModulatedNorm(self.dim, dtype=self.dtype, name="norm")(out, t)
+
+
+class SwinBlock(nn.Module):
+    """One (attention, feed-forward) pair with optional cyclic shift."""
+
+    dim: int
+    heads: int
+    head_dim: int
+    mlp_dim: int
+    window_size: tuple[int, int]
+    grid_size: tuple[int, int]
+    shift: tuple[int, int]  # (0, 0) on even layers
+    dtype: Dtype = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, t: jnp.ndarray, jvp: bool = False):
+        gh, gw = self.grid_size
+        B, N, D = x.shape
+        xp = x
+
+        x = x.reshape(B, gh, gw, D)
+        sh, sw = self.shift
+        if sh or sw:
+            x = cyclic_shift(x, (-sh, -sw))
+        x = window_partition(x, self.window_size)  # B, nW, n, D
+        x = WindowAttention(
+            self.dim, self.heads, self.head_dim, dtype=self.dtype, name="attn"
+        )(x, t, jvp)
+        x = window_reverse(x, self.window_size, self.grid_size)
+        if sh or sw:
+            x = cyclic_shift(x, (sh, sw))
+        x = x.reshape(B, N, D)
+
+        x = xp + x
+        x = x + FeedForward(self.dim, self.mlp_dim, dtype=self.dtype, name="ff")(x, t)
+        return x
+
+
+class SwinV2(nn.Module):
+    """Flagship SwinV2 denoiser backbone.
+
+    Call signature (functional, via ``.apply``):
+      x: (B, H, W, in_channels) NHWC
+      t: () or (B,) timesteps
+      auxiliary: optional (B, auxiliary_dim)
+      jvp: choose the forward-mode-differentiable attention path
+      return_logvar: also return the per-sample logvar head output (B,)
+    """
+
+    img_resolution: Sequence[int]
+    in_channels: int
+    out_channels: int
+    window_size: Sequence[int]
+    shift_size: Sequence[int]
+    patch_size: Sequence[int]
+    depth: int = 6
+    dim: int = 512
+    heads: int = 12
+    auxiliary_dim: int = 0
+    logvar: bool = False
+    timestep_weight: float = 1.0
+    dtype: Dtype = jnp.bfloat16
+
+    @nn.compact
+    def __call__(
+        self,
+        x: jnp.ndarray,
+        t: jnp.ndarray,
+        auxiliary: Optional[jnp.ndarray] = None,
+        jvp: bool = False,
+        return_logvar: bool = False,
+    ):
+        H, W = _as_2tuple(self.img_resolution)
+        ph, pw = _as_2tuple(self.patch_size)
+        wh, ww = _as_2tuple(self.window_size)
+        gh, gw = H // ph, W // pw
+        B = x.shape[0]
+        assert x.shape[1] == H and x.shape[2] == W, (
+            f"expected NHWC input {(H, W)}, got {x.shape}"
+        )
+
+        # --- patch embedding: (B, H, W, C) -> (B, gh*gw, ph*pw*C) -> dim.
+        # Feature ordering (p1, p2, c) matches the reference rearrange
+        # (swinv2.py:224-229) so checkpoints map 1:1.
+        xp = x.reshape(B, gh, ph, gw, pw, x.shape[-1])
+        xp = xp.transpose(0, 1, 3, 2, 4, 5).reshape(B, gh * gw, ph * pw * x.shape[-1])
+        h = nn.Dense(
+            self.dim, kernel_init=_TRUNC02, dtype=self.dtype, name="patch_embed"
+        )(xp)
+
+        pos = self.param(
+            "pos_embed",
+            lambda key, shape: 0.02 * jax.random.normal(key, shape, jnp.float32),
+            (1, gh * gw, self.dim),
+        )
+        h = h + pos.astype(self.dtype)
+
+        # --- conditioning vector.
+        t = jnp.asarray(t, jnp.float32)
+        if t.ndim == 0:
+            t = jnp.broadcast_to(t[None], (B,))
+        elif t.shape[0] == 1 and B > 1:
+            t = jnp.broadcast_to(t, (B,))
+        emb = timestep_embedding(t * self.timestep_weight, self.dim)
+        if self.auxiliary_dim and auxiliary is not None:
+            aux = jnp.asarray(auxiliary, jnp.float32).reshape(B, self.auxiliary_dim)
+            emb = emb + nn.Dense(
+                self.dim,
+                kernel_init=_TRUNC02,
+                dtype=jnp.float32,
+                name="auxiliary_embed",
+            )(aux * math.sqrt(self.auxiliary_dim))
+        # latent MLP (reference swinv2.py:67-74): silu(l2(silu(l1(e)))).
+        e = nn.Dense(self.dim, kernel_init=_TRUNC02, dtype=jnp.float32, name="latent_l1")(emb)
+        e = nn.Dense(self.dim, kernel_init=_TRUNC02, dtype=jnp.float32, name="latent_l2")(
+            jax.nn.silu(e)
+        )
+        cond = jax.nn.silu(e)
+        cond_c = cond.astype(self.dtype)
+
+        # --- transformer stack.
+        head_dim = self.dim // self.heads
+        mlp_dim = int(8 / 3.0 * self.dim)
+        sh, sw = _as_2tuple(self.shift_size)
+        for i in range(self.depth):
+            shift = (sh, sw) if (sh or sw) and i % 2 != 0 else (0, 0)
+            h = SwinBlock(
+                dim=self.dim,
+                heads=self.heads,
+                head_dim=head_dim,
+                mlp_dim=mlp_dim,
+                window_size=(wh, ww),
+                grid_size=(gh, gw),
+                shift=shift,
+                dtype=self.dtype,
+                name=f"block{i}",
+            )(h, cond_c, jvp)
+
+        # --- output head: (B, N, dim) -> (B, H, W, out_channels), zero-init.
+        # Feature ordering (c, p1, p2) matches reference swinv2.py:240-243.
+        o = nn.Dense(
+            self.out_channels * ph * pw,
+            use_bias=False,
+            kernel_init=_ZEROS,
+            dtype=self.dtype,
+            name="head",
+        )(h)
+        o = o.reshape(B, gh, gw, self.out_channels, ph, pw)
+        o = o.transpose(0, 1, 4, 2, 5, 3).reshape(B, H, W, self.out_channels)
+        o = o.astype(jnp.float32)
+
+        if self.logvar:
+            # always construct the head so params exist regardless of the
+            # return_logvar call-time flag (reference keeps it as a module
+            # attribute, swinv2.py:281).
+            lv = nn.Dense(
+                1,
+                kernel_init=_TRUNC02,
+                dtype=jnp.float32,
+                name="logvar_embed",
+            )(cond)
+            if return_logvar:
+                return o, lv.squeeze(-1)
+        return o

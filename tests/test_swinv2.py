@@ -1,0 +1,126 @@
+"""SwinV2 model tests: shapes, logvar head, zero-init head, jvp path, shift."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from swift_tpu.models.swinv2 import SwinV2
+
+
+def tiny_model(**kw):
+    cfg = dict(
+        img_resolution=(8, 16),
+        in_channels=6,
+        out_channels=3,
+        window_size=(2, 2),
+        shift_size=(1, 1),
+        patch_size=(2, 2),
+        depth=2,
+        dim=32,
+        heads=4,
+        auxiliary_dim=1,
+        logvar=True,
+        dtype=jnp.float32,
+    )
+    cfg.update(kw)
+    return SwinV2(**cfg)
+
+
+@pytest.fixture(scope="module")
+def model_and_params():
+    m = tiny_model()
+    x = jnp.zeros((2, 8, 16, 6))
+    t = jnp.zeros((2,))
+    params = m.init(jax.random.PRNGKey(0), x, t, auxiliary=jnp.zeros((2, 1)))["params"]
+    return m, params
+
+
+def test_forward_shape(model_and_params):
+    m, params = model_and_params
+    x = jax.random.normal(jax.random.PRNGKey(1), (2, 8, 16, 6))
+    t = jnp.array([0.5, 1.2])
+    y = m.apply({"params": params}, x, t, auxiliary=jnp.ones((2, 1)))
+    assert y.shape == (2, 8, 16, 3)
+    assert jnp.isfinite(y).all()
+
+
+def test_zero_init_head_gives_zero_output(model_and_params):
+    """Output head is zero-initialized (reference swinv2.py:295-303), so a
+    fresh model must output exactly zero."""
+    m, params = model_and_params
+    x = jax.random.normal(jax.random.PRNGKey(2), (1, 8, 16, 6))
+    y = m.apply({"params": params}, x, jnp.array([0.7]))
+    np.testing.assert_array_equal(np.asarray(y), 0.0)
+
+
+def test_logvar_head(model_and_params):
+    m, params = model_and_params
+    x = jax.random.normal(jax.random.PRNGKey(3), (2, 8, 16, 6))
+    y, lv = m.apply(
+        {"params": params}, x, jnp.array([0.1, 0.9]), return_logvar=True
+    )
+    assert y.shape == (2, 8, 16, 3)
+    assert lv.shape == (2,)
+
+
+def test_scalar_t_broadcast(model_and_params):
+    m, params = model_and_params
+    x = jax.random.normal(jax.random.PRNGKey(4), (3, 8, 16, 6))
+    y = m.apply({"params": params}, x, jnp.float32(1.5))
+    assert y.shape == (3, 8, 16, 3)
+
+
+def test_jvp_through_model(model_and_params):
+    """sCM needs jax.jvp through the full forward (reference loss.py:212-220)."""
+    m, params = model_and_params
+    x = jax.random.normal(jax.random.PRNGKey(5), (1, 8, 16, 6))
+    t = jnp.array([0.8])
+
+    def f(x, t):
+        return m.apply({"params": params}, x, t, jvp=True)
+
+    y, dy = jax.jvp(f, (x, t), (jnp.ones_like(x), jnp.ones_like(t)))
+    assert y.shape == dy.shape == (1, 8, 16, 3)
+    assert jnp.isfinite(dy).all()
+
+
+def test_grad_through_model(model_and_params):
+    m, params = model_and_params
+    x = jax.random.normal(jax.random.PRNGKey(6), (1, 8, 16, 6))
+
+    def loss(p):
+        y = m.apply({"params": p}, x, jnp.array([0.3]))
+        return jnp.sum(y**2)
+
+    g = jax.grad(loss)(params)
+    leaves = jax.tree_util.tree_leaves(g)
+    assert all(jnp.isfinite(l).all() for l in leaves)
+
+
+def test_param_count_flagship_config():
+    """The flagship 253M config (reference experiment/era5-swinv2-1.4-scm.yaml:22-28,
+    logvar head included per swinv2 main block :333-359) must land at ~253M."""
+    m = SwinV2(
+        img_resolution=(128, 256),
+        in_channels=69 * 2 + 3,
+        out_channels=69,
+        window_size=(16, 16),
+        shift_size=(8, 8),
+        patch_size=(2, 2),
+        depth=12,
+        dim=1056,
+        heads=12,
+        auxiliary_dim=1,
+        logvar=True,
+    )
+    x = jnp.zeros((1, 128, 256, 69 * 2 + 3))
+    params = jax.eval_shape(
+        lambda: m.init(jax.random.PRNGKey(0), x, jnp.zeros((1,)),
+                       auxiliary=jnp.zeros((1, 1)))["params"]
+    )
+    n = sum(int(np.prod(l.shape)) for l in jax.tree_util.tree_leaves(params))
+    # With patch 2x2 the architecture is ~226M; the reference's "253M" label
+    # corresponds to the patch 1x1 variant whose pos_embed alone is 34.6M
+    # (reference swinv2.py:333-351 uses patch_size=[1,1]).
+    assert 220e6 < n < 235e6, f"param count {n/1e6:.1f}M out of range"
