@@ -1,0 +1,6 @@
+from swift_tpu.parallel.mesh import (
+    get_mesh,
+    make_mesh,
+    shard_batch,
+    replicate,
+)

@@ -1,0 +1,82 @@
+"""Device-mesh utilities — the whole distributed backend.
+
+This module replaces the reference's entire communication stack (ezpz +
+torch.distributed + NCCL/oneCCL/MPI backend selection + env tuning, see
+SURVEY.md §5.8 and reference scripts/aurora-general.sh:26-46) with a single
+abstraction: a named ``jax.sharding.Mesh``.
+
+  * data parallelism  = batch-dim sharding over the ``data`` axis
+    (gradient psum inserted by XLA — no DDP wrapper, reference
+    trainer.py:76-84);
+  * ensemble inference = (member, ic) sharding over the same devices
+    (replacing the rank round-robin of reference generate.py:79);
+  * cross-host metric/loss reduction = jnp means over sharded arrays
+    (replacing explicit all_reduce at reference trainer.py:441-443).
+
+Multi-host: call ``jax.distributed.initialize()`` before ``make_mesh`` —
+the mesh then spans all processes, ICI within a slice and DCN across
+slices, with no further configuration.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+_MESH: Optional[Mesh] = None
+
+
+def make_mesh(
+    axis_names: Sequence[str] = ("data",),
+    axis_sizes: Optional[Sequence[int]] = None,
+    devices=None,
+) -> Mesh:
+    """Create (and cache) the global mesh.
+
+    Defaults to a 1-D ``data`` mesh over all devices. ``axis_sizes`` may use
+    -1 for "remaining devices" (at most one -1).
+    """
+    global _MESH
+    devices = np.asarray(devices if devices is not None else jax.devices())
+    n = devices.size
+    if axis_sizes is None:
+        axis_sizes = [1] * (len(axis_names) - 1) + [n]
+        axis_sizes[0] = n // int(np.prod(axis_sizes[1:])) if len(axis_names) > 1 else n
+        axis_sizes = [n] if len(axis_names) == 1 else axis_sizes
+    sizes = list(axis_sizes)
+    if -1 in sizes:
+        rest = int(np.prod([s for s in sizes if s != -1]))
+        sizes[sizes.index(-1)] = n // rest
+    assert int(np.prod(sizes)) == n, f"mesh {sizes} != {n} devices"
+    mesh = Mesh(devices.reshape(sizes), tuple(axis_names))
+    _MESH = mesh
+    return mesh
+
+
+def get_mesh() -> Mesh:
+    global _MESH
+    if _MESH is None:
+        _MESH = make_mesh()
+    return _MESH
+
+
+def shard_batch(batch, mesh: Optional[Mesh] = None, axis: str = "data"):
+    """Device-put a host batch with the leading dim sharded over ``axis``."""
+    mesh = mesh or get_mesh()
+
+    def put(x):
+        x = np.asarray(x)
+        spec = P(axis, *([None] * (x.ndim - 1))) if x.ndim >= 1 else P()
+        return jax.device_put(x, NamedSharding(mesh, spec))
+
+    return jax.tree_util.tree_map(put, batch)
+
+
+def replicate(tree, mesh: Optional[Mesh] = None):
+    """Fully replicate a pytree over the mesh."""
+    mesh = mesh or get_mesh()
+    sharding = NamedSharding(mesh, P())
+    return jax.tree_util.tree_map(lambda x: jax.device_put(x, sharding), tree)

@@ -1,0 +1,182 @@
+"""Muon — MomentUm Orthogonalized by Newton-Schulz, as optax transforms.
+
+Behavioral parity with the reference optimizer
+(reference: src/swift/training/optimizers/muon.py):
+
+  * quintic Newton-Schulz iteration run in bfloat16 (:5-35) — a perfect MXU
+    workload (5 iterations × 3 matmuls on weight-shaped matrices);
+  * ``muon_update``: Nesterov momentum → orthogonalize → aspect-ratio scale
+    ``max(1, rows/cols)^0.5`` (:38-45), conv filters flattened to 2D (:41-42);
+  * ``muon_with_aux_adam`` — Muon for hidden ≥2-D matrices, a hand-rolled
+    bias-corrected Adam for everything else (:149-262), selected by a
+    user-provided label function (the reference keys on
+    ``ndim >= 2 and "transformer" in name``, train.py:296-311).
+
+TPU-first difference: the reference shards NS work round-robin over ranks
+and all_gathers updated params (:88-110). Under pjit with replicated
+parameters XLA computes each NS once per device; the update is one fused
+program, no collectives needed. (A shard_map'd variant that splits NS work
+over the mesh axis is a later optimization — see PLAN in docs.)
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable, NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+import optax
+
+
+def newton_schulz(G: jnp.ndarray, steps: int = 5) -> jnp.ndarray:
+    """Quintic Newton-Schulz orthogonalization in bfloat16.
+
+    Accepts (..., m, n); operates on the trailing two dims; transposes so the
+    iteration runs on the short side (reference muon.py:5-35).
+    """
+    assert G.ndim >= 2
+    a, b, c = (3.4445, -4.7750, 2.0315)
+    X = G.astype(jnp.bfloat16)
+    transposed = G.shape[-2] > G.shape[-1]
+    if transposed:
+        X = X.swapaxes(-1, -2)
+
+    norm = jnp.sqrt(
+        jnp.sum(X.astype(jnp.float32) ** 2, axis=(-2, -1), keepdims=True)
+    ).astype(jnp.bfloat16)
+    X = X / (norm + 1e-7)
+    for _ in range(steps):
+        A = jnp.matmul(X, X.swapaxes(-1, -2), preferred_element_type=jnp.bfloat16)
+        B = b * A + c * jnp.matmul(A, A, preferred_element_type=jnp.bfloat16)
+        X = a * X + jnp.matmul(B, X, preferred_element_type=jnp.bfloat16)
+
+    if transposed:
+        X = X.swapaxes(-1, -2)
+    return X
+
+
+def _orthogonalized_update(g: jnp.ndarray, ns_steps: int) -> jnp.ndarray:
+    """Flatten >2-D to 2-D (conv filters), orthogonalize, rescale
+    (reference muon.py:38-45)."""
+    shape = g.shape
+    if g.ndim > 2:
+        g2 = g.reshape(shape[0], -1)
+    else:
+        g2 = g
+    u = newton_schulz(g2, steps=ns_steps)
+    u = u * max(1.0, g2.shape[-2] / g2.shape[-1]) ** 0.5
+    return u.reshape(shape).astype(jnp.float32)
+
+
+class MuonState(NamedTuple):
+    momentum: Any
+
+
+def scale_by_muon(
+    momentum: float = 0.95,
+    ns_steps: int = 5,
+    nesterov: bool = True,
+) -> optax.GradientTransformation:
+    """Raw Muon direction: momentum + Newton-Schulz orthogonalization."""
+
+    def init_fn(params):
+        return MuonState(momentum=jax.tree_util.tree_map(jnp.zeros_like, params))
+
+    def update_fn(updates, state, params=None):
+        new_momentum = jax.tree_util.tree_map(
+            lambda m, g: m + (1 - momentum) * (g - m), state.momentum, updates
+        )
+        if nesterov:
+            blended = jax.tree_util.tree_map(
+                lambda g, m: g + momentum * (m - g), updates, new_momentum
+            )
+        else:
+            blended = new_momentum
+        ortho = jax.tree_util.tree_map(
+            lambda u: _orthogonalized_update(u, ns_steps)
+            if u.ndim >= 2
+            else u,
+            blended,
+        )
+        return ortho, MuonState(momentum=new_momentum)
+
+    return optax.GradientTransformation(init_fn, update_fn)
+
+
+def muon(
+    learning_rate: optax.ScalarOrSchedule = 0.02,
+    momentum: float = 0.95,
+    ns_steps: int = 5,
+    nesterov: bool = True,
+    weight_decay: float = 0.0,
+) -> optax.GradientTransformation:
+    """Standalone Muon with AdamW-style decoupled weight decay."""
+    return optax.chain(
+        scale_by_muon(momentum, ns_steps, nesterov),
+        optax.add_decayed_weights(weight_decay),
+        optax.scale_by_learning_rate(learning_rate),
+    )
+
+
+def _aux_adam(
+    learning_rate: optax.ScalarOrSchedule,
+    betas: tuple[float, float],
+    eps: float,
+    weight_decay: float,
+) -> optax.GradientTransformation:
+    """Bias-corrected Adam matching the reference's hand-rolled variant
+    (muon.py:149-154): update = m̂ / (sqrt(v̂) + eps); note eps is added
+    AFTER the bias correction of v, unlike optax.adam's eps placement."""
+
+    def init_fn(params):
+        zeros = jax.tree_util.tree_map(jnp.zeros_like, params)
+        return {"mu": zeros, "nu": jax.tree_util.tree_map(jnp.zeros_like, params),
+                "count": jnp.zeros((), jnp.int32)}
+
+    def update_fn(updates, state, params=None):
+        count = state["count"] + 1
+        b1, b2 = betas
+        mu = jax.tree_util.tree_map(
+            lambda m, g: m + (1 - b1) * (g - m), state["mu"], updates
+        )
+        nu = jax.tree_util.tree_map(
+            lambda v, g: v + (1 - b2) * (g * g - v), state["nu"], updates
+        )
+        c1 = 1 - b1 ** count.astype(jnp.float32)
+        c2 = 1 - b2 ** count.astype(jnp.float32)
+        out = jax.tree_util.tree_map(
+            lambda m, v: (m / c1) / (jnp.sqrt(v / c2) + eps), mu, nu
+        )
+        return out, {"mu": mu, "nu": nu, "count": count}
+
+    return optax.chain(
+        optax.GradientTransformation(init_fn, update_fn),
+        optax.add_decayed_weights(weight_decay),
+        optax.scale_by_learning_rate(learning_rate),
+    )
+
+
+def muon_with_aux_adam(
+    param_labels: Callable[[Any], Any],
+    lr: optax.ScalarOrSchedule = 0.02,
+    weight_decay: float = 0.01,
+    momentum: float = 0.95,
+    ns_steps: int = 5,
+    adam_lr: optax.ScalarOrSchedule = 3e-4,
+    adam_betas: tuple[float, float] = (0.9, 0.95),
+    adam_weight_decay: float = 0.01,
+    adam_eps: float = 1e-10,
+) -> optax.GradientTransformation:
+    """Combined Muon + aux Adam (reference muon.py:157-262).
+
+    ``param_labels(params)`` returns a pytree of "muon"/"adam" labels; the
+    canonical labeler for SwinV2 lives in ``swift_tpu.training.trainer``
+    (matches reference train.py:296-311).
+    """
+    return optax.multi_transform(
+        {
+            "muon": muon(lr, momentum, ns_steps, True, weight_decay),
+            "adam": _aux_adam(adam_lr, adam_betas, adam_eps, adam_weight_decay),
+        },
+        param_labels,
+    )

@@ -1,0 +1,202 @@
+"""Trainer tests: overfit-a-batch, EMA, checkpointing, multi-device DP."""
+
+import json
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+import pytest
+
+from swift_tpu.models.precond import PassPrecond, Network
+from swift_tpu.models.swinv2 import SwinV2
+from swift_tpu.training.loss import TrigFlowLoss
+from swift_tpu.training.trainer import (
+    Trainer,
+    adamw_decay_mask,
+    lr_schedule,
+    muon_param_labels,
+    swin_flop_count,
+)
+from swift_tpu.utils.checkpoint import load_checkpoint, save_checkpoint
+
+VARS = ("2m_temperature", "geopotential_500", "temperature_850")
+H, W, C = 8, 16, 3
+
+
+def make_precond():
+    model = SwinV2(
+        img_resolution=(H, W), in_channels=2 * C, out_channels=C,
+        window_size=(2, 2), shift_size=(1, 1), patch_size=(2, 2),
+        depth=2, dim=32, heads=4, auxiliary_dim=1, logvar=True,
+        dtype=jnp.float32,
+    )
+    return PassPrecond(
+        model=model, img_resolution=(H, W), img_channels=C,
+        condition_channels=C, auxiliary_dim=1, sigma_data=1.0,
+    )
+
+
+def make_loss(precond):
+    return TrigFlowLoss(
+        precond=precond, lat_dim=H, variables=VARS,
+        noise={"dist": "loguniform", "sigma_min": 0.02, "sigma_max": 200.0},
+    )
+
+
+def fixed_batch(B=4):
+    k = jax.random.PRNGKey(0)
+    return {
+        "x": jax.random.normal(k, (B, H, W, C)),
+        "t": jax.random.normal(jax.random.fold_in(k, 1), (B, H, W, C)),
+        "idx": jnp.arange(B, dtype=jnp.int32),
+        "delta": jnp.full((B, 1), 0.6),
+    }
+
+
+def repeat_batches(batch, n=10**9):
+    def gen():
+        while True:
+            yield batch
+
+    return gen()
+
+
+def test_lr_schedule():
+    s = lr_schedule(1.0, global_batch_size=1000, lr_rampup_kimg=10,
+                    total_kimg=100, lr_min_factor=0.1, lr_cosine_anneal=True)
+    # count=0 -> nimg=0 -> min_lr
+    np.testing.assert_allclose(float(s(0)), 0.1, rtol=1e-6)
+    # count=5 -> nimg=5000 -> halfway through warmup
+    np.testing.assert_allclose(float(s(5)), 0.55, rtol=1e-6)
+    # end of schedule -> min_lr
+    np.testing.assert_allclose(float(s(100)), 0.1, rtol=1e-5)
+
+
+def test_param_label_fns():
+    p = make_precond()
+    params = p.init(jax.random.PRNGKey(0))
+    labels = muon_param_labels(params)
+    flat = {
+        "/".join(str(getattr(k, "key", k)) for k in path): v
+        for path, v in jax.tree_util.tree_flatten_with_path(labels)[0]
+    }
+    assert any(v == "muon" for v in flat.values())
+    # pos_embed and 1-D params are adam
+    assert all(
+        v == "adam" for k, v in flat.items() if "pos_embed" in k or "bias" in k
+    )
+    mask = adamw_decay_mask(params)
+    mflat = {
+        "/".join(str(getattr(k, "key", k)) for k in path): v
+        for path, v in jax.tree_util.tree_flatten_with_path(mask)[0]
+    }
+    assert mflat["pos_embed"] is False
+    assert any("modulation" in k and v for k, v in mflat.items())
+
+
+def test_swin_flop_count_positive():
+    n = swin_flop_count((128, 256), 1, 12, 69 * 2 + 3, 1056, int(8 / 3 * 1056),
+                        (2, 2), (16, 16))
+    assert n > 1e12  # ~TFLOP scale per sample
+
+
+def test_overfit_one_batch(tmp_path):
+    p = make_precond()
+    loss_fn = make_loss(p)
+    opt = optax.adamw(1e-3)
+    tr = Trainer(
+        p, opt, loss_fn, global_batch_size=4, total_kimg=1,
+        kimg_per_tick=1, checkpoint_ticks=None, val_ticks=None,
+        run_dir=str(tmp_path), seed=0,
+    )
+    batch = fixed_batch()
+    step = tr._get_step(1, None)
+    state = tr.state
+    losses = []
+    key = jax.random.PRNGKey(42)
+    for i in range(60):
+        state, m = step(state, batch, key)  # same key = same noise draw
+        losses.append(float(m["loss"]))
+    assert losses[-1] < losses[0], f"no descent: {losses[0]} -> {losses[-1]}"
+    assert np.isfinite(losses).all()
+
+
+def test_ema_tracks_params(tmp_path):
+    p = make_precond()
+    tr = Trainer(
+        p, optax.adamw(1e-3), make_loss(p), global_batch_size=4, total_kimg=1,
+        run_dir=str(tmp_path), ema_rampup_ratio=None, ema_halflife_kimg=0,
+    )
+    # halflife 0 -> beta ~ 0 -> ema == params after one step
+    step = tr._get_step(1, None)
+    state, _ = step(tr.state, fixed_batch(), jax.random.PRNGKey(0))
+    a = jax.tree_util.tree_leaves(state.params)
+    b = jax.tree_util.tree_leaves(state.ema)
+    for x, y in zip(a, b):
+        np.testing.assert_allclose(np.asarray(x), np.asarray(y), atol=1e-6)
+
+
+def test_train_loop_ticks_and_checkpoint(tmp_path):
+    p = make_precond()
+    tr = Trainer(
+        p, optax.adamw(1e-3), make_loss(p), global_batch_size=500,
+        total_kimg=2, kimg_per_tick=1, checkpoint_ticks=1, val_ticks=None,
+        run_dir=str(tmp_path),
+    )
+    tr.train(repeat_batches(fixed_batch()))
+    assert os.path.exists(tmp_path / "stats.jsonl")
+    lines = [json.loads(l) for l in open(tmp_path / "stats.jsonl")]
+    assert lines and "train/loss" in lines[-1]
+    ckpts = os.listdir(tmp_path / "checkpoints")
+    assert any(c.startswith("checkpoint-") for c in ckpts)
+
+
+def test_checkpoint_resume(tmp_path):
+    p = make_precond()
+    opt = optax.adamw(1e-3)
+    tr = Trainer(
+        p, opt, make_loss(p), global_batch_size=1000, total_kimg=1,
+        kimg_per_tick=1, checkpoint_ticks=1, val_ticks=None,
+        run_dir=str(tmp_path),
+    )
+    tr.train(repeat_batches(fixed_batch()))
+    ck = os.path.join(tmp_path, "checkpoints", "checkpoint-000001.npz")
+    assert os.path.exists(ck)
+    tr2 = Trainer(
+        p, opt, make_loss(p), global_batch_size=1000, total_kimg=2,
+        run_dir=str(tmp_path), ckpt=ck,
+    )
+    assert tr2.resume_kimg == 1
+    # params identical to saved
+    for x, y in zip(
+        jax.tree_util.tree_leaves(tr.state.params),
+        jax.tree_util.tree_leaves(tr2.state.params),
+    ):
+        np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
+
+
+def test_multi_device_dp():
+    """Train step over an 8-device data mesh: batch sharded, params replicated."""
+    from swift_tpu.parallel.mesh import make_mesh, replicate, shard_batch
+
+    assert jax.device_count() == 8, "conftest must provide 8 CPU devices"
+    mesh = make_mesh(("data",))
+    p = make_precond()
+    tr = Trainer(
+        p, optax.adamw(1e-3), make_loss(p), global_batch_size=8,
+        total_kimg=1, run_dir="/tmp/dp_test",
+    )
+    batch = shard_batch(fixed_batch(B=8), mesh)
+    state = jax.tree_util.tree_map(lambda x: x, tr.state)
+    state = type(state)(
+        replicate(state.params, mesh), replicate(state.ema, mesh),
+        replicate(state.opt_state, mesh), state.nimg,
+    )
+    step = tr._get_step(1, None)
+    new_state, m = step(state, batch, jax.random.PRNGKey(0))
+    assert np.isfinite(float(m["loss"]))
+    # params stay replicated (no accidental sharding)
+    leaf = jax.tree_util.tree_leaves(new_state.params)[0]
+    assert leaf.sharding.is_fully_replicated
