@@ -107,19 +107,29 @@ class FeedForward(nn.Module):
 class WindowAttention(nn.Module):
     """Cosine attention over (B, nW, n, D) windows, post-norm.
 
-    Reference swinv2.py:105-139. The softmax runs in fp32; the two matmuls
-    run in bf16 on the MXU with fp32 accumulation.
+    Reference swinv2.py:105-139. The softmax runs in fp32; the matmuls run
+    in bf16 on the MXU with fp32 accumulation. On TPU (and jvp=False) the
+    normalize+QK^T+softmax+PV chain runs as one fused Pallas kernel
+    (swift_tpu.ops.pallas_attention); the jnp path serves CPU tests and the
+    sCM forward-mode-AD term — the same split the reference makes by
+    disabling flash attention under jvp (swinv2.py:129).
     """
 
     dim: int
     heads: int
     head_dim: int
     dtype: Dtype = jnp.bfloat16
+    use_pallas: Optional[bool] = None  # None = auto (TPU only)
 
     @nn.compact
     def __call__(
         self, x: jnp.ndarray, t: jnp.ndarray, jvp: bool = False
     ) -> jnp.ndarray:
+        from swift_tpu.ops.pallas_attention import (
+            fused_window_attention,
+            reference_window_attention,
+        )
+
         inner = self.heads * self.head_dim
         qkv = nn.Dense(
             inner * 3,
@@ -141,27 +151,27 @@ class WindowAttention(nn.Module):
         )
         logit_scale = jnp.exp(jnp.clip(logit_scale, max=math.log(100.0)))
 
-        # cosine attention: normalize in fp32, then bf16 matmul w/ f32 accum.
-        q = q.astype(jnp.float32)
-        k = k.astype(jnp.float32)
-        q = q * jax.lax.rsqrt(jnp.sum(q * q, axis=-1, keepdims=True) + 1e-12)
-        k = k * jax.lax.rsqrt(jnp.sum(k * k, axis=-1, keepdims=True) + 1e-12)
-        q = q * logit_scale[None, None, None, :, None]
+        # (B, nW, n, h, d) -> (B*nW, h, n, d)
+        def to_heads(a):
+            return a.transpose(0, 1, 3, 2, 4).reshape(
+                B * nW, self.heads, n, self.head_dim
+            )
 
-        attn = jnp.einsum(
-            "bwnhd,bwmhd->bwhnm",
-            q.astype(self.dtype),
-            k.astype(self.dtype),
-            preferred_element_type=jnp.float32,
+        use_pallas = self.use_pallas
+        if use_pallas is None:
+            use_pallas = jax.default_backend() == "tpu"
+        attn_fn = (
+            fused_window_attention
+            if (use_pallas and not jvp)
+            else reference_window_attention
         )
-        attn = jax.nn.softmax(attn, axis=-1)
-        out = jnp.einsum(
-            "bwhnm,bwmhd->bwnhd",
-            attn.astype(self.dtype),
-            v,
-            preferred_element_type=jnp.float32,
-        ).astype(self.dtype)
-        out = out.reshape(B, nW, n, inner)
+        out = attn_fn(to_heads(q), to_heads(k), to_heads(v), logit_scale)
+        out = (
+            out.reshape(B, nW, self.heads, n, self.head_dim)
+            .transpose(0, 1, 3, 2, 4)
+            .reshape(B, nW, n, inner)
+            .astype(self.dtype)
+        )
 
         out = nn.Dense(
             self.dim,
@@ -184,6 +194,7 @@ class SwinBlock(nn.Module):
     grid_size: tuple[int, int]
     shift: tuple[int, int]  # (0, 0) on even layers
     dtype: Dtype = jnp.bfloat16
+    use_pallas: Optional[bool] = None
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, t: jnp.ndarray, jvp: bool = False):
@@ -197,7 +208,8 @@ class SwinBlock(nn.Module):
             x = cyclic_shift(x, (-sh, -sw))
         x = window_partition(x, self.window_size)  # B, nW, n, D
         x = WindowAttention(
-            self.dim, self.heads, self.head_dim, dtype=self.dtype, name="attn"
+            self.dim, self.heads, self.head_dim, dtype=self.dtype,
+            use_pallas=self.use_pallas, name="attn",
         )(x, t, jvp)
         x = window_reverse(x, self.window_size, self.grid_size)
         if sh or sw:
@@ -233,6 +245,7 @@ class SwinV2(nn.Module):
     logvar: bool = False
     timestep_weight: float = 1.0
     dtype: Dtype = jnp.bfloat16
+    use_pallas: Optional[bool] = None  # None = auto (pallas on TPU only)
 
     @nn.compact
     def __call__(
@@ -306,6 +319,7 @@ class SwinV2(nn.Module):
                 grid_size=(gh, gw),
                 shift=shift,
                 dtype=self.dtype,
+                use_pallas=self.use_pallas,
                 name=f"block{i}",
             )(h, cond_c, jvp)
 
