@@ -34,6 +34,33 @@ def run(dataset, batch_size: int, n_batches: int, workers: int) -> dict:
     }
 
 
+def run_packed(dataset, pack_path: str, batch_size: int, n_batches: int) -> dict:
+    """Benchmark the native C++ packed loader on the same access pattern."""
+    from swift_tpu.native import PackedDataset
+
+    pd = PackedDataset(pack_path)
+    nv = len(dataset.variables)
+    x_mean = dataset.x_means.reshape(-1)
+    x_std = dataset.x_stds.reshape(-1)
+    t_std = dataset.t_stds[6].reshape(-1)
+    rng = np.random.default_rng(0)
+    n = len(pd) - 4
+
+    idx = rng.integers(0, n, size=batch_size)
+    pd.batch(idx, idx + 1, idx, x_mean, x_std, t_std, nv)  # warmup
+    t0 = time.perf_counter()
+    for _ in range(n_batches):
+        idx = rng.integers(0, n, size=batch_size)
+        pd.batch(idx, idx + 1, idx, x_mean, x_std, t_std, nv)
+    wall = time.perf_counter() - t0
+    pd.close()
+    return {
+        "batches_per_sec": n_batches / wall,
+        "samples_per_sec": n_batches * batch_size / wall,
+        "wall": wall,
+    }
+
+
 def main():
     p = argparse.ArgumentParser()
     p.add_argument("--root", required=True)
@@ -43,7 +70,12 @@ def main():
     p.add_argument("--batch", type=int, default=256)
     p.add_argument("--batches", type=int, default=24)
     p.add_argument("--workers", type=int, default=4)
+    p.add_argument("--pack", action="store_true",
+                   help="also benchmark the native packed loader "
+                        "(<root>/<split>.pack; created if missing)")
     args = p.parse_args()
+
+    import os
 
     from swift_tpu.data.era5 import ERA5Dataset
 
@@ -53,9 +85,21 @@ def main():
     )
     out = run(ds, args.batch, args.batches, args.workers)
     print(
-        f"{out['batches_per_sec']:.2f} batches/s, "
+        f"h5 loader: {out['batches_per_sec']:.2f} batches/s, "
         f"{out['samples_per_sec']:.1f} samples/s over {args.batches} batches"
     )
+    if args.pack:
+        pack_path = os.path.join(args.root, f"{args.split}.pack")
+        if not os.path.exists(pack_path):
+            from swift_tpu.native.pack import pack_split
+
+            pack_split(ds, pack_path)
+        pk = run_packed(ds, pack_path, args.batch, args.batches)
+        print(
+            f"native packed loader: {pk['batches_per_sec']:.2f} batches/s, "
+            f"{pk['samples_per_sec']:.1f} samples/s "
+            f"({pk['samples_per_sec'] / out['samples_per_sec']:.1f}x)"
+        )
 
 
 if __name__ == "__main__":

@@ -25,9 +25,15 @@ def _a(w) -> np.ndarray:
     return np.asarray(w, np.float32)
 
 
-def swinv2_state_dict_to_params(state_dict: Mapping[str, Any], depth: int) -> dict:
+def swinv2_state_dict_to_params(
+    state_dict: Mapping[str, Any], depth: int, scan_layers: bool = False
+) -> dict:
     """Reference SwinV2 state_dict (optionally ``model.``-prefixed, as in the
-    precond wrapper) -> our flax params dict."""
+    precond wrapper) -> our flax params dict.
+
+    With ``scan_layers=True`` (the model default for even depths) the
+    per-layer blocks are stacked into the ``pairs/{even,odd}`` layout that
+    ``nn.scan`` expects: leaf arrays gain a leading depth//2 axis."""
     sd = {}
     for k, v in state_dict.items():
         if hasattr(v, "detach"):
@@ -72,9 +78,9 @@ def swinv2_state_dict_to_params(state_dict: Mapping[str, Any], depth: int) -> di
             },
         }
 
-    for i in range(depth):
+    def block(i: int) -> dict:
         base = f"transformer.layers.{i}"
-        p[f"block{i}"] = {
+        return {
             "attn": {
                 "to_qkv": {"kernel": _t(sd[f"{base}.0.to_qkv.weight"])},
                 "wo": {"kernel": _t(sd[f"{base}.0.wo.weight"])},
@@ -87,6 +93,19 @@ def swinv2_state_dict_to_params(state_dict: Mapping[str, Any], depth: int) -> di
                 "norm": norm(f"{base}.1.norm"),
             },
         }
+
+    if scan_layers and depth % 2 == 0:
+        import jax
+
+        evens = [block(i) for i in range(0, depth, 2)]
+        odds = [block(i) for i in range(1, depth, 2)]
+        stack = lambda blocks: jax.tree_util.tree_map(
+            lambda *leaves: np.stack(leaves, axis=0), *blocks
+        )
+        p["pairs"] = {"even": stack(evens), "odd": stack(odds)}
+    else:
+        for i in range(depth):
+            p[f"block{i}"] = block(i)
     return p
 
 
@@ -114,9 +133,7 @@ def swinv2_params_to_state_dict(params: Mapping[str, Any]) -> dict:
         put("logvar_embed.bias", params["logvar_embed"]["bias"])
     put("head.head.0.weight", params["head"]["kernel"], True)
 
-    i = 0
-    while f"block{i}" in params:
-        blk = params[f"block{i}"]
+    def put_block(blk: dict, i: int):
         base = f"transformer.layers.{i}"
         put(f"{base}.0.to_qkv.weight", blk["attn"]["to_qkv"]["kernel"], True)
         put(f"{base}.0.wo.weight", blk["attn"]["wo"]["kernel"], True)
@@ -131,14 +148,33 @@ def swinv2_params_to_state_dict(params: Mapping[str, Any]) -> dict:
             put(f"{base}.{tkey}.norm.modulation.bias", n["modulation"]["bias"])
         put(f"{base}.1.w1.weight", blk["ff"]["w1"]["kernel"], True)
         put(f"{base}.1.w2.weight", blk["ff"]["w2"]["kernel"], True)
-        i += 1
+
+    if "pairs" in params:
+        import jax
+
+        n_pairs = np.asarray(
+            jax.tree_util.tree_leaves(params["pairs"]["even"])[0]
+        ).shape[0]
+        for j in range(n_pairs):
+            take = lambda tree: jax.tree_util.tree_map(
+                lambda a: np.asarray(a)[j], tree
+            )
+            put_block(take(params["pairs"]["even"]), 2 * j)
+            put_block(take(params["pairs"]["odd"]), 2 * j + 1)
+    else:
+        i = 0
+        while f"block{i}" in params:
+            put_block(params[f"block{i}"], i)
+            i += 1
     return out
 
 
-def load_reference_checkpoint(path: str, depth: int, key: str = "ema") -> dict:
+def load_reference_checkpoint(
+    path: str, depth: int, key: str = "ema", scan_layers: bool = True
+) -> dict:
     """Load a reference ``.pt`` checkpoint and return our params pytree."""
     import torch
 
     state = torch.load(path, map_location="cpu", weights_only=True)
     sd = state[key] if key in state else state
-    return swinv2_state_dict_to_params(sd, depth)
+    return swinv2_state_dict_to_params(sd, depth, scan_layers=scan_layers)

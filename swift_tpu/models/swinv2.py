@@ -221,6 +221,39 @@ class SwinBlock(nn.Module):
         return x
 
 
+class SwinBlockPair(nn.Module):
+    """One (unshifted, shifted) block pair — the scan-over-layers body.
+
+    Stacking identical pairs under ``nn.scan`` compiles the transformer once
+    per PAIR instead of once per layer: 6x less HLO for the flagship
+    depth-12 model (faster compiles, same math — layer weights become a
+    stacked leading axis in the param tree).
+    """
+
+    dim: int
+    heads: int
+    head_dim: int
+    mlp_dim: int
+    window_size: tuple[int, int]
+    grid_size: tuple[int, int]
+    shift: tuple[int, int]
+    jvp: bool
+    dtype: Dtype = jnp.bfloat16
+    use_pallas: Optional[bool] = None
+
+    @nn.compact
+    def __call__(self, x, cond):
+        common = dict(
+            dim=self.dim, heads=self.heads, head_dim=self.head_dim,
+            mlp_dim=self.mlp_dim, window_size=self.window_size,
+            grid_size=self.grid_size, dtype=self.dtype,
+            use_pallas=self.use_pallas,
+        )
+        x = SwinBlock(shift=(0, 0), name="even", **common)(x, cond, self.jvp)
+        x = SwinBlock(shift=self.shift, name="odd", **common)(x, cond, self.jvp)
+        return x, None
+
+
 class SwinV2(nn.Module):
     """Flagship SwinV2 denoiser backbone.
 
@@ -230,6 +263,10 @@ class SwinV2(nn.Module):
       auxiliary: optional (B, auxiliary_dim)
       jvp: choose the forward-mode-differentiable attention path
       return_logvar: also return the per-sample logvar head output (B,)
+
+    ``scan_layers=True`` (default for even depths) runs the block stack as
+    ``nn.scan`` over stacked block-pair parameters — identical math, much
+    smaller compiled program (TPU-first; see SwinBlockPair).
     """
 
     img_resolution: Sequence[int]
@@ -246,6 +283,7 @@ class SwinV2(nn.Module):
     timestep_weight: float = 1.0
     dtype: Dtype = jnp.bfloat16
     use_pallas: Optional[bool] = None  # None = auto (pallas on TPU only)
+    scan_layers: bool = True  # nn.scan over block pairs (even depth only)
 
     @nn.compact
     def __call__(
@@ -308,20 +346,36 @@ class SwinV2(nn.Module):
         head_dim = self.dim // self.heads
         mlp_dim = int(8 / 3.0 * self.dim)
         sh, sw = _as_2tuple(self.shift_size)
-        for i in range(self.depth):
-            shift = (sh, sw) if (sh or sw) and i % 2 != 0 else (0, 0)
-            h = SwinBlock(
-                dim=self.dim,
-                heads=self.heads,
-                head_dim=head_dim,
-                mlp_dim=mlp_dim,
-                window_size=(wh, ww),
-                grid_size=(gh, gw),
-                shift=shift,
-                dtype=self.dtype,
-                use_pallas=self.use_pallas,
-                name=f"block{i}",
-            )(h, cond_c, jvp)
+        if self.scan_layers and self.depth % 2 == 0:
+            ScannedPairs = nn.scan(
+                SwinBlockPair,
+                variable_axes={"params": 0},
+                split_rngs={"params": True},
+                length=self.depth // 2,
+                in_axes=nn.broadcast,
+                metadata_params={nn.meta.PARTITION_NAME: None},
+            )
+            h, _ = ScannedPairs(
+                dim=self.dim, heads=self.heads, head_dim=head_dim,
+                mlp_dim=mlp_dim, window_size=(wh, ww), grid_size=(gh, gw),
+                shift=(sh, sw), jvp=jvp, dtype=self.dtype,
+                use_pallas=self.use_pallas, name="pairs",
+            )(h, cond_c)
+        else:
+            for i in range(self.depth):
+                shift = (sh, sw) if (sh or sw) and i % 2 != 0 else (0, 0)
+                h = SwinBlock(
+                    dim=self.dim,
+                    heads=self.heads,
+                    head_dim=head_dim,
+                    mlp_dim=mlp_dim,
+                    window_size=(wh, ww),
+                    grid_size=(gh, gw),
+                    shift=shift,
+                    dtype=self.dtype,
+                    use_pallas=self.use_pallas,
+                    name=f"block{i}",
+                )(h, cond_c, jvp)
 
         # --- output head: (B, N, dim) -> (B, H, W, out_channels), zero-init.
         # Feature ordering (c, p1, p2) matches reference swinv2.py:240-243.

@@ -56,10 +56,15 @@ def newton_schulz(G: jnp.ndarray, steps: int = 5) -> jnp.ndarray:
 
 
 def _orthogonalized_update(g: jnp.ndarray, ns_steps: int) -> jnp.ndarray:
-    """Flatten >2-D to 2-D (conv filters), orthogonalize, rescale
-    (reference muon.py:38-45)."""
+    """Orthogonalize + aspect rescale (reference muon.py:38-45).
+
+    2-D: plain NS. 3-D: treated as a stack of matrices (scan-over-layers
+    parameters) — batched NS over the trailing two dims, which is exactly
+    the reference's per-layer update done as one MXU batch. 4-D (conv
+    OIHW-style filters) flattens trailing dims like the reference (:41-42).
+    """
     shape = g.shape
-    if g.ndim > 2:
+    if g.ndim == 4:
         g2 = g.reshape(shape[0], -1)
     else:
         g2 = g

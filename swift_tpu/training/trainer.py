@@ -108,6 +108,11 @@ def muon_param_labels(params) -> Any:
 
     def label(path, leaf):
         joined = "/".join(str(getattr(p, "key", p)) for p in path)
+        if "pairs" in joined:
+            # scan-over-layers stack: a leading layer axis inflates ndim by
+            # one, so a stacked matrix is >=3-D (stacked scales/norms are
+            # 2-D and stay on adam).
+            return "muon" if leaf.ndim >= 3 else "adam"
         if leaf.ndim >= 2 and "block" in joined:
             return "muon"
         return "adam"

@@ -213,16 +213,19 @@ class TorchSwinRef(nn.Module):
         return out, logvar
 
 
-@pytest.fixture(scope="module")
-def models():
+@pytest.fixture(scope="module", params=[False, True], ids=["unrolled", "scan"])
+def models(request):
+    scan = request.param
     tm = TorchSwinRef().eval()
     jm = SwinV2(
         img_resolution=(H, W), in_channels=CIN, out_channels=COUT,
         window_size=WIN, shift_size=SHIFT, patch_size=PATCH,
         depth=DEPTH, dim=DIM, heads=HEADS, auxiliary_dim=1, logvar=True,
-        dtype=jnp.float32,
+        dtype=jnp.float32, scan_layers=scan,
     )
-    params = swinv2_state_dict_to_params(tm.state_dict_reference_layout(), DEPTH)
+    params = swinv2_state_dict_to_params(
+        tm.state_dict_reference_layout(), DEPTH, scan_layers=scan
+    )
     return tm, jm, params
 
 
@@ -251,7 +254,7 @@ def test_forward_parity(models):
 def test_state_dict_roundtrip(models):
     tm, jm, params = models
     sd = swinv2_params_to_state_dict(params)
-    params2 = swinv2_state_dict_to_params(sd, DEPTH)
+    params2 = swinv2_state_dict_to_params(sd, DEPTH, scan_layers="pairs" in params)
     for (p1, l1), (p2, l2) in zip(
         jax.tree_util.tree_flatten_with_path(params)[0],
         jax.tree_util.tree_flatten_with_path(params2)[0],
