@@ -6,10 +6,14 @@ src/swift/models/swinv2.py:105-139 — L2-normalized q/k, learned per-head
 logit scale, softmax at scale 1.0).
 
 Because a Swin window is only wh*ww = 256 tokens, the whole (n × n) logits
-tile fits in VMEM: this is a *fused* attention (normalize + QK^T + softmax +
-PV in one kernel, logits never touch HBM), not an online-softmax flash
-kernel. One grid program handles one (batch·window) slice with ALL heads,
-using batched MXU matmuls over the head axis.
+tile fits in VMEM: this is a *fused* attention core (QK^T + softmax + PV in
+one kernel; the logits matrix never touches HBM), not an online-softmax
+flash kernel. The grid is (batch·window, head) and every program works on
+strictly 2-D (n, d) tiles — Mosaic's vector-layout inference wants 2-D
+operands. The cosine normalization + learned scale stay OUTSIDE the kernel:
+they are cheap elementwise VPU work that XLA fuses into the surrounding
+projections, and their gradients then come from autodiff instead of
+hand-written kernel code.
 
 Forward + custom_vjp backward are Pallas kernels. The sCM JVP path uses the
 plain jnp attention instead (same policy as the reference, which disables
@@ -32,173 +36,105 @@ def _normalize(x):
     return x * jax.lax.rsqrt(jnp.sum(x * x, axis=-1, keepdims=True) + _EPS)
 
 
-def _attn_fwd_kernel(scale_ref, q_ref, k_ref, v_ref, o_ref):
-    # blocks: q/k/v (1, h, n, d); scale (h,) in SMEM-like small VMEM
-    q = q_ref[0].astype(jnp.float32)  # (h, n, d)
-    k = k_ref[0].astype(jnp.float32)
-    scale = scale_ref[:].astype(jnp.float32)  # (h,)
-
-    qn = _normalize(q) * scale[:, None, None]
-    kn = _normalize(k)
-
-    s = jax.lax.dot_general(
-        qn.astype(jnp.bfloat16),
-        kn.astype(jnp.bfloat16),
-        dimension_numbers=(((2,), (2,)), ((0,), (0,))),
-        preferred_element_type=jnp.float32,
-    )  # (h, n, n)
+def _softmax_rows(s):
     s = s - jnp.max(s, axis=-1, keepdims=True)
     e = jnp.exp(s)
-    p = e / jnp.sum(e, axis=-1, keepdims=True)
-
-    o = jax.lax.dot_general(
-        p.astype(jnp.bfloat16),
-        v_ref[0],
-        dimension_numbers=(((2,), (1,)), ((0,), (0,))),
-        preferred_element_type=jnp.float32,
-    )  # (h, n, d)
-    o_ref[0] = o.astype(o_ref.dtype)
+    return e / jnp.sum(e, axis=-1, keepdims=True)
 
 
-def _attn_fwd(q, k, v, scale):
+def _block4(n, d):
+    return pl.BlockSpec((1, 1, n, d), lambda i, j: (i, j, 0, 0),
+                        memory_space=pltpu.VMEM)
+
+
+def _sdpa_fwd_kernel(q_ref, k_ref, v_ref, o_ref):
+    q = q_ref[0, 0].astype(jnp.float32)  # (n, d), already normalized+scaled
+    k = k_ref[0, 0].astype(jnp.float32)
+    p = _softmax_rows(
+        jnp.dot(q.astype(jnp.bfloat16), k.astype(jnp.bfloat16).T,
+                preferred_element_type=jnp.float32)
+    )
+    o = jnp.dot(p.astype(jnp.bfloat16), v_ref[0, 0],
+                preferred_element_type=jnp.float32)
+    o_ref[0, 0] = o.astype(o_ref.dtype)
+
+
+def _sdpa_fwd(q, k, v):
     BW, h, n, d = q.shape
-    kernel = pl.pallas_call(
-        _attn_fwd_kernel,
-        grid=(BW,),
-        in_specs=[
-            pl.BlockSpec((h,), lambda i: (0,), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, h, n, d), lambda i: (i, 0, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, h, n, d), lambda i: (i, 0, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, h, n, d), lambda i: (i, 0, 0, 0), memory_space=pltpu.VMEM),
-        ],
-        out_specs=pl.BlockSpec(
-            (1, h, n, d), lambda i: (i, 0, 0, 0), memory_space=pltpu.VMEM
-        ),
+    return pl.pallas_call(
+        _sdpa_fwd_kernel,
+        grid=(BW, h),
+        in_specs=[_block4(n, d)] * 3,
+        out_specs=_block4(n, d),
         out_shape=jax.ShapeDtypeStruct(q.shape, q.dtype),
         cost_estimate=pl.CostEstimate(
             flops=2 * BW * h * (2 * n * n * d),
             bytes_accessed=4 * BW * h * n * d * 4,
             transcendentals=BW * h * n * n,
         ),
+    )(q, k, v)
+
+
+def _sdpa_bwd_kernel(q_ref, k_ref, v_ref, do_ref, dq_ref, dk_ref, dv_ref):
+    bf = jnp.bfloat16
+    q = q_ref[0, 0].astype(jnp.float32)
+    k = k_ref[0, 0].astype(jnp.float32)
+    v = v_ref[0, 0].astype(jnp.float32)
+    do = do_ref[0, 0].astype(jnp.float32)
+
+    p = _softmax_rows(
+        jnp.dot(q.astype(bf), k.astype(bf).T, preferred_element_type=jnp.float32)
     )
-    return kernel(scale, q, k, v)
-
-
-def _attn_bwd_kernel(scale_ref, q_ref, k_ref, v_ref, do_ref,
-                     dq_ref, dk_ref, dv_ref, dscale_ref):
-    q = q_ref[0].astype(jnp.float32)  # (h, n, d)
-    k = k_ref[0].astype(jnp.float32)
-    v = v_ref[0].astype(jnp.float32)
-    do = do_ref[0].astype(jnp.float32)
-    scale = scale_ref[:].astype(jnp.float32)
-
-    q_sq = jnp.sum(q * q, axis=-1, keepdims=True) + _EPS
-    k_sq = jnp.sum(k * k, axis=-1, keepdims=True) + _EPS
-    q_inv = jax.lax.rsqrt(q_sq)
-    k_inv = jax.lax.rsqrt(k_sq)
-    qh = q * q_inv  # unit q
-    kh = k * k_inv  # unit k
-    qn = qh * scale[:, None, None]
-
-    s = jax.lax.dot_general(
-        qn.astype(jnp.bfloat16), kh.astype(jnp.bfloat16),
-        dimension_numbers=(((2,), (2,)), ((0,), (0,))),
-        preferred_element_type=jnp.float32,
-    )
-    s = s - jnp.max(s, axis=-1, keepdims=True)
-    e = jnp.exp(s)
-    p = e / jnp.sum(e, axis=-1, keepdims=True)
-
-    # dv = p^T @ do
-    dv = jax.lax.dot_general(
-        p.astype(jnp.bfloat16), do.astype(jnp.bfloat16),
-        dimension_numbers=(((1,), (1,)), ((0,), (0,))),
-        preferred_element_type=jnp.float32,
-    )
-    # dp = do @ v^T
-    dp = jax.lax.dot_general(
-        do.astype(jnp.bfloat16), v.astype(jnp.bfloat16),
-        dimension_numbers=(((2,), (2,)), ((0,), (0,))),
-        preferred_element_type=jnp.float32,
-    )
-    # softmax backward: ds = p * (dp - sum(p*dp))
+    dv = jnp.dot(p.astype(bf).T, do.astype(bf), preferred_element_type=jnp.float32)
+    dp = jnp.dot(do.astype(bf), v.astype(bf).T, preferred_element_type=jnp.float32)
     ds = p * (dp - jnp.sum(p * dp, axis=-1, keepdims=True))
+    dq = jnp.dot(ds.astype(bf), k.astype(bf), preferred_element_type=jnp.float32)
+    dk = jnp.dot(ds.astype(bf).T, q.astype(bf), preferred_element_type=jnp.float32)
 
-    # d(qn) = ds @ kh ; d(kh) = ds^T @ qn
-    dqn = jax.lax.dot_general(
-        ds.astype(jnp.bfloat16), kh.astype(jnp.bfloat16),
-        dimension_numbers=(((2,), (1,)), ((0,), (0,))),
-        preferred_element_type=jnp.float32,
-    )
-    dkh = jax.lax.dot_general(
-        ds.astype(jnp.bfloat16), qn.astype(jnp.bfloat16),
-        dimension_numbers=(((1,), (1,)), ((0,), (0,))),
-        preferred_element_type=jnp.float32,
-    )
-
-    # through the scale: qn = qh * scale
-    dqh = dqn * scale[:, None, None]
-    dscale = jnp.sum(dqn * qh, axis=(1, 2))  # (h,)
-
-    # through L2 normalization: x_hat = x / ||x||;
-    # dx = (dxhat - x_hat * sum(dxhat * x_hat)) / ||x||
-    dq = (dqh - qh * jnp.sum(dqh * qh, axis=-1, keepdims=True)) * q_inv
-    dk = (dkh - kh * jnp.sum(dkh * kh, axis=-1, keepdims=True)) * k_inv
-
-    dq_ref[0] = dq.astype(dq_ref.dtype)
-    dk_ref[0] = dk.astype(dk_ref.dtype)
-    dv_ref[0] = dv.astype(dv_ref.dtype)
-    dscale_ref[0] = dscale.astype(dscale_ref.dtype)
+    dq_ref[0, 0] = dq.astype(dq_ref.dtype)
+    dk_ref[0, 0] = dk.astype(dk_ref.dtype)
+    dv_ref[0, 0] = dv.astype(dv_ref.dtype)
 
 
-def _attn_bwd(scale, q, k, v, do):
+def _sdpa_bwd_call(q, k, v, do):
     BW, h, n, d = q.shape
-    kernel = pl.pallas_call(
-        _attn_bwd_kernel,
-        grid=(BW,),
-        in_specs=[
-            pl.BlockSpec((h,), lambda i: (0,), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, h, n, d), lambda i: (i, 0, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, h, n, d), lambda i: (i, 0, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, h, n, d), lambda i: (i, 0, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, h, n, d), lambda i: (i, 0, 0, 0), memory_space=pltpu.VMEM),
-        ],
-        out_specs=[
-            pl.BlockSpec((1, h, n, d), lambda i: (i, 0, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, h, n, d), lambda i: (i, 0, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, h, n, d), lambda i: (i, 0, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, h), lambda i: (i, 0), memory_space=pltpu.VMEM),
-        ],
+    return pl.pallas_call(
+        _sdpa_bwd_kernel,
+        grid=(BW, h),
+        in_specs=[_block4(n, d)] * 4,
+        out_specs=[_block4(n, d)] * 3,
         out_shape=[
             jax.ShapeDtypeStruct(q.shape, q.dtype),
             jax.ShapeDtypeStruct(k.shape, k.dtype),
             jax.ShapeDtypeStruct(v.shape, v.dtype),
-            jax.ShapeDtypeStruct((BW, h), jnp.float32),
         ],
-    )
-    dq, dk, dv, dscale_per = kernel(scale, q, k, v, do)
-    return dq, dk, dv, dscale_per.sum(axis=0)
+    )(q, k, v, do)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=())
+@jax.custom_vjp
+def _sdpa(q, k, v):
+    """softmax(q @ k^T) @ v with scale 1.0; q/k pre-normalized."""
+    return _sdpa_fwd(q, k, v)
+
+
+def _sdpa_vjp_fwd(q, k, v):
+    return _sdpa_fwd(q, k, v), (q, k, v)
+
+
+def _sdpa_vjp_bwd(res, do):
+    return _sdpa_bwd_call(*res, do)
+
+
+_sdpa.defvjp(_sdpa_vjp_fwd, _sdpa_vjp_bwd)
+
+
 def fused_window_attention(q, k, v, scale):
-    """Cosine attention, fused. q/k/v: (BW, h, n, d); scale: (h,) —
-    the already-exp'ed, clamped per-head logit scale."""
-    return _attn_fwd(q, k, v, scale)
-
-
-def _fwa_fwd(q, k, v, scale):
-    o = _attn_fwd(q, k, v, scale)
-    return o, (q, k, v, scale)
-
-
-def _fwa_bwd(res, do):
-    q, k, v, scale = res
-    dq, dk, dv, dscale = _attn_bwd(scale, q, k, v, do)
-    return dq, dk, dv, dscale
-
-
-fused_window_attention.defvjp(_fwa_fwd, _fwa_bwd)
+    """Cosine attention, pallas-fused core. q/k/v: (BW, h, n, d);
+    scale: (h,) — the already-exp'ed, clamped per-head logit scale."""
+    qn = (_normalize(q.astype(jnp.float32))
+          * scale.astype(jnp.float32)[None, :, None, None]).astype(v.dtype)
+    kn = _normalize(k.astype(jnp.float32)).astype(v.dtype)
+    return _sdpa(qn, kn, v)
 
 
 def reference_window_attention(q, k, v, scale):

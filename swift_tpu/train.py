@@ -116,6 +116,9 @@ def main(argv=None):
     if is_main_process():
         os.makedirs(run_dir, exist_ok=True)
         cfglib.save_config(cfg, os.path.join(run_dir, ".hydra", "config.yaml"))
+        from swift_tpu.utils.wandb_utils import setup_wandb
+
+        setup_wandb("swift", config=cfg)
     log0(f"Results directory: {run_dir}")
 
     cfg, ckpt = resume_setup(cfg, run_dir)

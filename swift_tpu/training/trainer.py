@@ -186,6 +186,9 @@ class Trainer:
         self.seed = seed
         self.profile = profile
         self.solver_type = "edm" if isinstance(loss_fn, EDMLoss) else "dpm"
+        from swift_tpu.utils.wandb_utils import History
+
+        self.history = History()
 
         # ---- state init / resume (reference trainer.py:98-116)
         params = precond.init(jax.random.PRNGKey(seed))
@@ -296,6 +299,15 @@ class Trainer:
         var_map = dict(zip(variables, arr))
         selected = self.val_variables or variables
         selected = [v for v in selected if v in var_map] or variables
+
+        # per-variable per-day wandb metrics (reference trainer.py:282-293)
+        n_days = arr.shape[1]
+        wandb_val = {"train/kimg": int(global_nimg / 1e3)}
+        for v in selected:
+            for day in range(n_days):
+                desc = "6h" if day == 0 else f"{day}day"
+                wandb_val[f"val/rmse/{desc}/{v}"] = float(var_map[v][day])
+        self.history.update(wandb_val, precision=4)
 
         val_metrics = {
             "train/kimg": int(global_nimg / 1e3),
@@ -432,10 +444,10 @@ class Trainer:
                 "train/mem/device": mem_gb,
             }
             logger.info(
-                " ".join(
-                    f"{k.split('/', 1)[1]}={v:.4g}" if isinstance(v, float) else f"{k.split('/', 1)[1]}={v}"
-                    for k, v in metrics.items()
-                )
+                self.history.update(metrics, precision=4)
+                .replace("train/", "")
+                .replace("dt/", "")
+                .replace("mem/", "")
             )
             for k, v in metrics.items():
                 stats.report0(k, v)
@@ -464,6 +476,10 @@ class Trainer:
                     stats_jsonl.close()
                 if val_jsonl is not None:
                     val_jsonl.close()
+                if is_main_process():
+                    self.history.finalize(
+                        os.path.join(self.run_dir, "outputs"), "train"
+                    )
                 return self.state
 
     def save_checkpoint(self, cur_nimg: int):

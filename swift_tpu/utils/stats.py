@@ -103,3 +103,50 @@ class Collector:
 
 
 default_collector = Collector()
+
+
+# ----------------------------------------------------------------------------
+# Profiling / distributed-consistency tooling (reference stats.py:39-50,81-87)
+
+
+def profiled_function(fn):
+    """Decorator: wrap a function in a jax.profiler trace annotation
+    (equivalent of the reference's record_function decorator)."""
+    import functools
+
+    import jax
+
+    @functools.wraps(fn)
+    def wrapper(*args, **kwargs):
+        with jax.profiler.TraceAnnotation(fn.__qualname__):
+            return fn(*args, **kwargs)
+
+    return wrapper
+
+
+def check_replica_consistency(tree, name: str = "params") -> bool:
+    """Verify a replicated pytree is bit-identical across processes —
+    the mesh-world analogue of the reference's broadcast-and-compare
+    ``check_ddp_consistency`` (stats.py:39-50). Single-process: trivially
+    true. Multi-process: compares per-leaf checksums via process_allgather.
+    """
+    import jax
+    import numpy as np
+
+    if jax.process_count() == 1:
+        return True
+    from jax.experimental import multihost_utils
+
+    leaves = jax.tree_util.tree_leaves(tree)
+    sums = np.asarray(
+        [float(np.asarray(l, np.float64).sum()) for l in leaves], np.float64
+    )
+    gathered = np.asarray(multihost_utils.process_allgather(sums))
+    ok = bool(np.all(gathered == gathered[0]))
+    if not ok:
+        bad = np.where(~np.all(gathered == gathered[0], axis=0))[0]
+        raise AssertionError(
+            f"replica mismatch in {name}: {len(bad)} leaves differ "
+            f"(first at flat index {bad[0]})"
+        )
+    return ok
