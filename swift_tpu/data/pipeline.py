@@ -112,8 +112,9 @@ class BatchLoader:
                     if stop.is_set():
                         break
                     q.put(self._build_batch(specs, pool))
-            finally:
                 q.put(None)
+            except BaseException as e:  # propagate to the consumer
+                q.put(e)
 
         thread = threading.Thread(target=producer, daemon=True)
         thread.start()
@@ -122,6 +123,8 @@ class BatchLoader:
                 item = q.get()
                 if item is None:
                     break
+                if isinstance(item, BaseException):
+                    raise item
                 yield item
         finally:
             stop.set()

@@ -37,6 +37,12 @@ class InfiniteSampler:
         self.seed = seed
         self.window_size = window_size
         self.offset = 1
+        # files consumed per extra multistep offset at the worst-case Δ.
+        # The reference's guard (samplers.py:44) only reserves one step of
+        # headroom, which can index past the end for offset>1 with Δ=24h
+        # (its own TODO at era5.py:187); reserve the true worst case.
+        intervals = getattr(dataset, "intervals", [6])
+        self.max_step_files = max(intervals) // 6 if intervals else 1
 
     def set_offset(self, offset: int):
         """How far ahead to offset the dataset (in steps)."""
@@ -56,7 +62,7 @@ class InfiniteSampler:
         while True:
             i = idx % order.size
             if idx % self.num_replicas == self.rank:
-                if order[i] + self.offset - 1 < order.size:
+                if order[i] + (self.offset - 1) * self.max_step_files < order.size:
                     if self.offset > 1:
                         yield (int(order[i]), self.offset)
                     else:

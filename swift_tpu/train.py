@@ -65,6 +65,12 @@ def resume_setup(cfg: dict, run_dir: str):
         if os.path.isdir(src):
             shutil.copytree(src, dst, dirs_exist_ok=True)
 
+    # run-control flags always come from the CURRENT invocation, not the
+    # resumed run's saved config.
+    for key in ("dry_run", "resume", "distill"):
+        if key in cfg:
+            prev_cfg[key] = cfg[key]
+
     if finetune is not None:
         # hard overlay of the finetune-composed groups onto the resumed cfg
         # (reference :74-96). Our composition put them at global scope.

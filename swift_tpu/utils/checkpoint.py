@@ -48,11 +48,55 @@ def save_checkpoint(path: str, tree: Any) -> None:
     os.replace(tmp, path)
 
 
+def _restack_layers(flat: dict[str, np.ndarray], want_pairs: bool) -> dict:
+    """Convert between the unrolled ``block{i}/...`` transformer layout and
+    the scan-over-layers ``pairs/{even,odd}/...`` layout (stacked leading
+    axis), so checkpoints stay loadable across the two model configurations."""
+    import re
+
+    out = dict(flat)
+    if want_pairs:
+        groups: dict[str, dict[int, np.ndarray]] = {}
+        for k in list(out):
+            m = re.match(r"(.*?)block(\d+)/(.*)", k)
+            if m:
+                prefix, i, rest = m.group(1), int(m.group(2)), m.group(3)
+                groups.setdefault(f"{prefix}|{rest}", {})[i] = out.pop(k)
+        for gk, by_layer in groups.items():
+            prefix, rest = gk.split("|", 1)
+            evens = [by_layer[i] for i in sorted(by_layer) if i % 2 == 0]
+            odds = [by_layer[i] for i in sorted(by_layer) if i % 2 == 1]
+            if evens:
+                out[f"{prefix}pairs/even/{rest}"] = np.stack(evens, 0)
+            if odds:
+                out[f"{prefix}pairs/odd/{rest}"] = np.stack(odds, 0)
+    else:
+        for k in list(out):
+            m = re.match(r"(.*?)pairs/(even|odd)/(.*)", k)
+            if m:
+                prefix, par, rest = m.group(1), m.group(2), m.group(3)
+                stacked = out.pop(k)
+                base = 0 if par == "even" else 1
+                for j in range(stacked.shape[0]):
+                    out[f"{prefix}block{base + 2 * j}/{rest}"] = stacked[j]
+    return out
+
+
 def load_checkpoint(path: str, template: Any) -> Any:
-    """Restore into the structure of ``template`` (same flattened keys)."""
+    """Restore into the structure of ``template`` (same flattened keys).
+    Transparently converts between unrolled and scan-over-layers SwinV2
+    transformer layouts."""
     with np.load(path) as data:
         flat = {k: data[k] for k in data.files}
     paths, treedef = jax.tree_util.tree_flatten_with_path(template)
+    want_keys = {
+        "/".join(_path_str(p) for p in pe) for pe, _ in paths
+    }
+    if not want_keys <= set(flat):
+        wants_pairs = any("/pairs/" in k or k.startswith("pairs/") for k in want_keys)
+        has_pairs = any("/pairs/" in k or k.startswith("pairs/") for k in flat)
+        if wants_pairs != has_pairs:
+            flat = _restack_layers(flat, want_pairs=wants_pairs)
     leaves = []
     for path_elems, leaf in paths:
         key = "/".join(_path_str(p) for p in path_elems)

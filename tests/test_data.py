@@ -91,6 +91,19 @@ def test_infinite_sampler_offset_yields_tuples(ds):
         assert idx + 2 < len(ds)
 
 
+def test_infinite_sampler_offset_headroom_worst_delta(ds):
+    """Every yielded (idx, offset) must be loadable at the WORST-case delta
+    (24h) — regression test for the out-of-range multistep indexing the
+    reference's guard allows (its TODO at era5.py:187)."""
+    s = InfiniteSampler(ds, shuffle=True, seed=3)
+    s.set_offset(2)
+    it = iter(s)
+    for _ in range(min(20, len(ds))):
+        idx, off = next(it)
+        (x, t), _ = ds[(idx, off, 24)]  # must not raise IndexError
+        assert np.isfinite(t).all()
+
+
 def test_infinite_sampler_deterministic(ds):
     s = InfiniteSampler(ds, shuffle=True, seed=7)
     seq1 = [next(iter(s)) for _ in range(1)]
