@@ -76,13 +76,17 @@ def lat_weighted_crps(pred, y, lat) -> float:
 
 
 def lat_weighted_spread_skill_ratio(pred, y, lat) -> float:
-    """SSR = spread / ensemble-mean RMSE (reference metrics.py:108-134)."""
+    """SSR = spread / ensemble-mean RMSE (reference metrics.py:108-134).
+    At lead 0 both spread and skill are ~0 (members share the analysis);
+    define 0/0 as 0 so the metric stays finite."""
     pred = jnp.asarray(pred)
     rmse = lat_weighted_rmse(pred, y, lat)
     w = jnp.asarray(_w_lat(lat)).reshape(1, -1, 1)
     var = jnp.var(pred, axis=1, ddof=1)  # (B, H, W)
     spread = float(jnp.sqrt(jnp.mean(var * w, axis=(-2, -1))).mean())
-    return spread / rmse if rmse > 0 else float("nan")
+    if rmse <= 1e-12:
+        return 0.0 if spread <= 1e-12 else float("inf")
+    return spread / rmse
 
 
 def evaluate(truth_path: str, pred_path: str, device: str | None = None) -> dict:

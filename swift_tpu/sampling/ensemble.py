@@ -92,10 +92,15 @@ class EnsembleRollout:
         )
 
     def _shard(self, x):
+        x = np.asarray(x)
         if self.mesh is None:
             return jnp.asarray(x)
-        spec = P("data", *([None] * (np.asarray(x).ndim - 1)))
-        return jax.device_put(np.asarray(x), NamedSharding(self.mesh, spec))
+        D = int(np.prod([self.mesh.shape[a] for a in self.mesh.axis_names]))
+        if x.shape[0] % D != 0:
+            # replicated fallback (the batch doesn't tile the mesh).
+            return jax.device_put(x, NamedSharding(self.mesh, P()))
+        spec = P("data", *([None] * (x.ndim - 1)))
+        return jax.device_put(x, NamedSharding(self.mesh, spec))
 
     def run(
         self,

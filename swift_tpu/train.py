@@ -128,6 +128,16 @@ def main(argv=None):
     log0(f"Results directory: {run_dir}")
 
     cfg, ckpt = resume_setup(cfg, run_dir)
+    if ckpt is not None:
+        # the resume swapped in the prior run's config (reference behavior);
+        # explicit CLI value overrides still win on top of it.
+        from swift_tpu.config import _parse_value, _set_path
+
+        for ov in overrides:
+            key, _, raw = ov.partition("=")
+            key = key.lstrip("+")
+            if raw and "." in key or key in ("seed", "dry_run"):
+                _set_path(cfg, key, _parse_value(raw))
     if cfg.get("finetune") is not None and ckpt is None:
         log0("ERROR: must have resume path to finetune")
         return 1
