@@ -52,8 +52,7 @@ def main():
     import jax.numpy as jnp
 
     from __graft_entry__ import FLAGSHIP, _build
-    from swift_tpu.models.precond import Network
-    from swift_tpu.sampling.factory import sampler_factory
+    from swift_tpu.sampling.factory import param_sampler_factory
 
     H, W = FLAGSHIP["img_resolution"]
     C, F = FLAGSHIP["n_vars"], FLAGSHIP["n_forcings"]
@@ -78,29 +77,29 @@ def main():
     jax.block_until_ready(params)
     log(f"param build+transfer: {time.perf_counter() - t0:.1f}s")
 
-    net = Network(precond, params)
-    sampler = sampler_factory(
-        "scm", net, num_steps=1, sigma_min=0.02, sigma_max=200.0, auxiliary=0.6
+    sampler = param_sampler_factory(
+        "scm", precond, num_steps=1, sigma_min=0.02, sigma_max=200.0,
+        auxiliary=0.6,
     )
 
     # ONE small jitted program (a single forecast step: forcing concat +
     # 1-step sCM sample + residual update); the 60-step rollout chains it
-    # with device-resident state. Keeps the compiled program minimal — the
-    # dev tunnel's compile latency scales with program size — while steady-
-    # state throughput is identical to the lax.scan formulation (the steps
-    # are sequentially dependent either way).
+    # with device-resident state. Params cross the jit boundary as an
+    # ARGUMENT — a closure would bake 0.9 GB of weights into the HLO as
+    # constants. Steady-state throughput matches the lax.scan formulation
+    # (steps are sequentially dependent either way).
     @jax.jit
-    def step(X, key):
+    def step(params, X, key):
         f = jax.random.normal(jax.random.fold_in(key, 1), (mb, H, W, F))
         cond = jnp.concatenate([X, f], axis=-1)
-        Y = sampler(cond, key)
+        Y = sampler(params, cond, key)
         # residual update (identity stats: same fused affine cost)
         return X + Y
 
     rng2 = np.random.default_rng(1)
     X = jnp.asarray(rng2.standard_normal((mb, H, W, C), dtype=np.float32))
     t0 = time.perf_counter()
-    X = step(X, jax.random.PRNGKey(0))
+    X = step(params, X, jax.random.PRNGKey(0))
     s = float(X.sum())
     log(f"compile+warmup: {time.perf_counter() - t0:.1f}s (sum={s:.3e})")
 
@@ -108,7 +107,7 @@ def main():
     t0 = time.perf_counter()
     for i in range(n_launches):
         for k in range(STEPS):
-            X = step(X, jax.random.PRNGKey(1000 * i + k + 1))
+            X = step(params, X, jax.random.PRNGKey(1000 * i + k + 1))
     acc = float(X.sum())  # forces completion of the whole chain
     wall = time.perf_counter() - t0
     assert np.isfinite(acc)

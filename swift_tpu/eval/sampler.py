@@ -32,12 +32,12 @@ parser.add_argument("--sigma-max", type=float, nargs="+", default=[200.0])
 parser.add_argument("--solver", type=str, default="scm")
 
 
-def sweep(net, dataset, batches, odir, args, mesh=None):
+def sweep(precond, params, dataset, batches, odir, args, mesh=None):
     import jax
     import jax.numpy as jnp
 
     from swift_tpu.data.standardize import Standardizer
-    from swift_tpu.sampling.factory import sampler_factory
+    from swift_tpu.sampling.factory import param_sampler_factory
     from swift_tpu.utils.io import log0
 
     std = Standardizer.from_dataset(dataset)
@@ -58,11 +58,11 @@ def sweep(net, dataset, batches, odir, args, mesh=None):
             "sigma_min": sigma_min,
             "sigma_max": sigma_max,
         }
-        sampler = sampler_factory(args.solver, net, **solver_kwargs)
+        sampler = param_sampler_factory(args.solver, precond, **solver_kwargs)
 
         @jax.jit
-        def eval_batch(X, T, key):
-            Y = sampler(X, key)
+        def eval_batch(params, X, T, key):
+            Y = sampler(params, X, key)
             Xp = std.unstd_x(X[..., : std.n_variables])
             Yp = Xp + std.unstd_t(Y)
             Tp = Xp + std.unstd_t(T)
@@ -73,8 +73,10 @@ def sweep(net, dataset, batches, odir, args, mesh=None):
         hw = None
         for b, (X, T) in enumerate(batches()):
             key = jax.random.fold_in(jax.random.PRNGKey(args.seed + i), b)
-            sse += np.asarray(eval_batch(jnp.asarray(X), jnp.asarray(T), key),
-                              np.float64)
+            sse += np.asarray(
+                eval_batch(params, jnp.asarray(X), jnp.asarray(T), key),
+                np.float64,
+            )
             total += X.shape[0]
             hw = X.shape[1] * X.shape[2]
 
@@ -103,7 +105,6 @@ def main(args=None):
 
     from swift_tpu import config as cfglib
     from swift_tpu import factory
-    from swift_tpu.models.precond import Network
     from swift_tpu.utils.checkpoint import latest_checkpoint, load_checkpoint
     from swift_tpu.utils.io import log0
 
@@ -125,7 +126,7 @@ def main(args=None):
         else latest_checkpoint(os.path.join(args.input, "checkpoints"))
     )
     assert ckpt, "no checkpoint found"
-    net = Network(precond, load_checkpoint(ckpt, {"ema": params})["ema"])
+    ema_params = load_checkpoint(ckpt, {"ema": params})["ema"]
 
     n = len(dataset) if args.samples == -1 else args.samples
     indices = list(range(n))
@@ -142,7 +143,7 @@ def main(args=None):
 
     odir = os.path.join(args.input, "output")
     os.makedirs(odir, exist_ok=True)
-    return sweep(net, dataset, batches, odir, args)
+    return sweep(precond, ema_params, dataset, batches, odir, args)
 
 
 if __name__ == "__main__":

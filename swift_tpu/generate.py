@@ -21,10 +21,9 @@ from swift_tpu import config as cfglib
 from swift_tpu import factory
 from swift_tpu.data.constants import compress_variables
 from swift_tpu.data.samplers import AttributeSubset
-from swift_tpu.models.precond import Network
 from swift_tpu.parallel.mesh import make_mesh
 from swift_tpu.sampling.ensemble import EnsembleRollout
-from swift_tpu.sampling.factory import sampler_factory
+from swift_tpu.sampling.factory import param_sampler_factory
 from swift_tpu.utils import zarr_lite
 from swift_tpu.utils.checkpoint import latest_checkpoint, load_checkpoint
 from swift_tpu.utils.io import create_empty_numpy, create_forecast_zarr, log0
@@ -142,7 +141,7 @@ def main(args):
         ckpt_basename = "latest"
     log0(f"Loading checkpoint: {ckpt}")
     restored = load_checkpoint(ckpt, {"ema": params})
-    net = Network(precond, restored["ema"])
+    ema_params = restored["ema"]
 
     mesh = make_mesh(("data",))
     log0(f"Mesh: {mesh}")
@@ -162,10 +161,10 @@ def main(args):
         "sigma_max": 200.0,
         "auxiliary": args.interval / 10.0,
     }
-    sampler = sampler_factory(args.solver, net, **solver_kwargs)
+    sampler = param_sampler_factory(args.solver, precond, **solver_kwargs)
 
     engine = EnsembleRollout(
-        sampler, dataset, args.members, args.steps,
+        sampler, ema_params, dataset, args.members, args.steps,
         interval=args.interval, segment=args.segment, mesh=mesh,
         base_seed=args.seed,
     )

@@ -29,10 +29,15 @@ from swift_tpu.utils.io import get_logger
 logger = get_logger(__name__)
 
 
-def _segment_fn(sampler, std, delta: int, residual: bool, auxiliary):
-    """(X, forc_seg, keys) -> (X_next, physical trajectory for the segment)."""
+def _segment_fn(param_sampler, std, delta: int, residual: bool, auxiliary):
+    """(params, X, forc_seg, keys) -> (X_next, physical segment trajectory).
 
-    def seg(X, forc_seg, keys):
+    ``params`` is an explicit argument (NOT a closure capture): closures
+    would bake the full weight pytree into the compiled program as
+    constants — catastrophic for compile time and cache size.
+    """
+
+    def seg(params, X, forc_seg, keys):
         # forc_seg: (MB, S, H, W, F) or None; keys: (S, 2)
         xs = {"key": keys}
         if forc_seg is not None:
@@ -44,7 +49,7 @@ def _segment_fn(sampler, std, delta: int, residual: bool, auxiliary):
                 if "forcing" in s
                 else X
             )
-            Y = sampler(cond, s["key"], auxiliary=auxiliary)
+            Y = param_sampler(params, cond, s["key"], auxiliary=auxiliary)
             if residual:
                 X_phys = std.unstd_x(X, delta) + std.unstd_t(Y, delta)
                 X_next = std.std_x(X_phys, delta)
@@ -68,7 +73,8 @@ class EnsembleRollout:
 
     def __init__(
         self,
-        sampler: Callable,
+        param_sampler: Callable,  # (params, cond, key, auxiliary=None) -> Y
+        params,
         dataset,
         members: int,
         steps: int,
@@ -77,7 +83,8 @@ class EnsembleRollout:
         mesh=None,
         base_seed: int = 0,
     ):
-        self.sampler = sampler
+        self.param_sampler = param_sampler
+        self.params = params
         self.dataset = dataset
         self.std = Standardizer.from_dataset(dataset)
         self.members = members
@@ -88,7 +95,9 @@ class EnsembleRollout:
         self.base_seed = base_seed
         self.residual = bool(getattr(dataset, "residual", False))
         self._seg = jax.jit(
-            _segment_fn(sampler, self.std, interval, self.residual, interval / 10.0)
+            _segment_fn(
+                param_sampler, self.std, interval, self.residual, interval / 10.0
+            )
         )
 
     def _shard(self, x):
@@ -153,7 +162,7 @@ class EnsembleRollout:
 
             # a trailing partial segment (S < segment) costs one extra jit
             # specialization — bounded at 2 total.
-            state, traj = self._seg(state, forc_seg, seg_keys)
+            state, traj = self._seg(self.params, state, forc_seg, seg_keys)
             traj_np = np.asarray(traj).reshape(M, B, S, *traj.shape[2:])
             for m in range(M):
                 write_fn(ic_start, m, done + 1, traj_np[m])

@@ -26,7 +26,8 @@ from swift_tpu.data.standardize import Standardizer
 
 
 def forecast_rollout(
-    sampler: Callable,
+    param_sampler: Callable,  # (params, cond, key, auxiliary=None) -> Y
+    params,
     std: Standardizer,
     X0: jnp.ndarray,  # (B, H, W, C) standardized initial condition
     forcings_seq: Optional[jnp.ndarray],  # (B, steps, H, W, F) standardized
@@ -38,7 +39,8 @@ def forecast_rollout(
 ) -> jnp.ndarray:
     """Returns the physical-space trajectory (B, steps+1, H, W, C).
 
-    ``sampler`` is a ``sampler_factory`` closure: sampler(cond, key, auxiliary).
+    ``param_sampler`` comes from ``factory.param_sampler_factory`` — params
+    cross the jit boundary as an argument, never as closure constants.
     """
     B = X0.shape[0]
     keys = jax.random.split(key, steps)
@@ -52,7 +54,7 @@ def forecast_rollout(
         cond = (
             jnp.concatenate([X, s["forcing"]], axis=-1) if "forcing" in s else X
         )
-        Y = sampler(cond, s["key"], auxiliary=auxiliary)
+        Y = param_sampler(params, cond, s["key"], auxiliary=auxiliary)
         if residual:
             X_phys = std.unstd_x(X, delta) + std.unstd_t(Y, delta)
             X_next = std.std_x(X_phys, delta)

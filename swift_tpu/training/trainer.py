@@ -35,7 +35,6 @@ import numpy as np
 import optax
 
 from swift_tpu.models.precond import BasePrecond, Network
-from swift_tpu.sampling.factory import sampler_factory
 from swift_tpu.training.loss import CRPSLoss, EDMLoss, MSELoss, SCMLoss
 from swift_tpu.utils import stats
 from swift_tpu.utils.checkpoint import get_ckpt_num, save_checkpoint, load_checkpoint
@@ -283,12 +282,15 @@ class Trainer:
 
     # ------------------------------------------------------------------
     def _val_step(self, val_batches, val_dataset, cur_tick, global_nimg, val_jsonl):
+        from swift_tpu.sampling.factory import param_sampler_factory
         from swift_tpu.training.validate import RMSE_rollout
 
-        net = Network(self.precond, self.state.ema)
-        sampler = sampler_factory(self.solver_type, net, **self.solver_kwargs)
+        sampler = param_sampler_factory(
+            self.solver_type, self.precond, **self.solver_kwargs
+        )
         agg, arr = RMSE_rollout(
             sampler,
+            self.state.ema,
             val_batches,
             val_dataset,
             self.val_target_interval,

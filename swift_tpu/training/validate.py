@@ -23,8 +23,9 @@ NUM_INTERVAL_PER_DAY = 4
 
 
 def _rollout_rmse_scan(
-    sampler: Callable,
+    param_sampler: Callable,  # (params, cond, key, auxiliary=None) -> Y
     std: Standardizer,
+    params,
     X0: jnp.ndarray,  # (B, H, W, C) standardized
     forcings_seq: Optional[jnp.ndarray],  # (B, steps, H, W, F) standardized
     targets: jnp.ndarray,  # (B, days+1, H, W, C) UNstandardized
@@ -55,7 +56,7 @@ def _rollout_rmse_scan(
     def body(carry, s):
         X, agg, arr = carry
         cond = jnp.concatenate([X, s["forcing"]], axis=-1) if "forcing" in s else X
-        Y = sampler(cond, s["key"], auxiliary=auxiliary)
+        Y = param_sampler(params, cond, s["key"], auxiliary=auxiliary)
 
         Y_un = std.unstd_t(Y)
         if residual:
@@ -82,7 +83,8 @@ def _rollout_rmse_scan(
 
 
 def RMSE_rollout(
-    sampler: Callable,
+    param_sampler: Callable,
+    params,
     batches,
     dataset,
     target_interval: int,
@@ -93,8 +95,11 @@ def RMSE_rollout(
     """Host driver: iterates rollout batches, prefetches forcings, runs the
     jitted scan, averages over batches.
 
-    ``batches`` yields (X, TS, idx) with X (B, H, W, C) standardized and TS
-    (B, days+1, H, W, C) unstandardized (ERA5RollOutDataset layout).
+    ``param_sampler(params, cond, key, auxiliary)`` — parameters are passed
+    through the jit boundary explicitly (never closed over; see
+    factory.param_sampler_factory). ``batches`` yields (X, TS, idx) with X
+    (B, H, W, C) standardized and TS (B, days+1, H, W, C) unstandardized
+    (ERA5RollOutDataset layout).
     """
     std = Standardizer.from_dataset(dataset)
     residual = getattr(dataset, "residual", False)
@@ -106,7 +111,7 @@ def RMSE_rollout(
     arr_total = None
     count = 0
     jitted = jax.jit(
-        partial(_rollout_rmse_scan, sampler, std),
+        partial(_rollout_rmse_scan, param_sampler, std),
         static_argnames=("target_interval", "residual"),
     )
     for X, TS, idx in batches:
@@ -128,6 +133,7 @@ def RMSE_rollout(
                 0,
             ).astype(np.float32)
         agg, arr = jitted(
+            params,
             jnp.asarray(X),
             None if forc is None else jnp.asarray(forc),
             jnp.asarray(TS),

@@ -33,7 +33,7 @@ def ds(tmp_path_factory):
                        residual=True, split="test")
 
 
-def zero_sampler(cond, key, auxiliary=None):
+def zero_sampler(params, cond, key, auxiliary=None):
     """Predicts zero residual: the state should stay fixed in physical space."""
     return jnp.zeros(cond.shape[:-1] + (len(VARS),))
 
@@ -46,7 +46,7 @@ def test_forecast_rollout_identity_with_zero_residual(ds):
     )
     forc = jnp.zeros((2, 5, H, W, len(FORCINGS)))
     traj = forecast_rollout(
-        zero_sampler, std, X0, forc, jax.random.PRNGKey(0), steps=5
+        zero_sampler, None, std, X0, forc, jax.random.PRNGKey(0), steps=5
     )
     assert traj.shape == (2, 6, H, W, len(VARS))
     # zero residual => every lead equals the initial physical state
@@ -68,7 +68,7 @@ def test_rmse_rollout_perfect_persistence(ds, tmp_path_factory):
         x, t, idx = roll[0]
         yield x[None], t[None], np.array([0])
 
-    agg, arr = RMSE_rollout(zero_sampler, batches(), roll, 8,
+    agg, arr = RMSE_rollout(zero_sampler, None, batches(), roll, 8,
                             jax.random.PRNGKey(0))
     assert np.isfinite(agg) and agg > 0
     assert arr.shape == (len(VARS), 8 // 4 + 1)
@@ -77,7 +77,7 @@ def test_rmse_rollout_perfect_persistence(ds, tmp_path_factory):
 
 def test_ensemble_rollout_writes_all_members(ds):
     M, B, steps = 3, 2, 5
-    engine = EnsembleRollout(zero_sampler, ds, members=M, steps=steps,
+    engine = EnsembleRollout(zero_sampler, None, ds, members=M, steps=steps,
                              interval=6, segment=2)
     X0 = np.stack(
         [np.asarray(ds.standardize_x(ds._load_file(ds.files[i], VARS), 6))

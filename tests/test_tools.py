@@ -27,14 +27,16 @@ def test_sampler_sweep(data_root, tmp_path):
 
     ds = ERA5Dataset(root=data_root, variables=VARS, residual=True, split="test")
 
-    class ToyNet:
+    class ToyPrecond:
+        """Minimal precond contract for param_sampler_factory."""
+
         sigma_data = 1.0
         sigma_min = 0.0
         sigma_max = float("inf")
         img_channels = len(VARS)
         img_resolution = (8, 16)
 
-        def __call__(self, x, t, condition=None, auxiliary=None, **kw):
+        def apply(self, params, x, t, condition=None, auxiliary=None, **kw):
             return jnp.zeros_like(x)
 
     def batches():
@@ -49,7 +51,7 @@ def test_sampler_sweep(data_root, tmp_path):
         num_steps=[1, 2], sigma_min=[0.02], sigma_max=[200.0],
         seed=0, solver="scm",
     )
-    results = sweep(ToyNet(), ds, batches, str(tmp_path), args)
+    results = sweep(ToyPrecond(), {}, ds, batches, str(tmp_path), args)
     assert len(results) == 2
     assert os.path.exists(tmp_path / "sampler_results.csv")
     assert all(np.isfinite(r["overall_error"]) for r in results)
