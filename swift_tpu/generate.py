@@ -100,6 +100,9 @@ def build_store(args, dataset, indices, odir, filename):
 
 
 def main(args):
+    from swift_tpu.utils.io import setup_compilation_cache
+
+    setup_compilation_cache()
     cfg = cfglib.load_config(os.path.join(args.input, ".hydra", "config.yaml"))
     cfg = cfglib.resolve_interpolations(cfg)
 

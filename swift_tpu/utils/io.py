@@ -7,6 +7,7 @@ The zarr store writers live in ``swift_tpu.utils.zarr_lite``.
 from __future__ import annotations
 
 import logging
+import os
 import sys
 
 _CONFIGURED = False
@@ -28,6 +29,22 @@ def _configure():
 def get_logger(name: str = "swift_tpu") -> logging.Logger:
     _configure()
     return logging.getLogger(name)
+
+
+def setup_compilation_cache(path: str = None):
+    """Enable jax's persistent compilation cache (big XLA programs take
+    minutes to compile; the cache makes repeat CLI invocations start hot)."""
+    import jax
+
+    path = path or os.environ.get(
+        "SWIFT_COMPILE_CACHE",
+        os.path.join(os.path.expanduser("~"), ".cache", "swift_tpu_jax"),
+    )
+    try:
+        jax.config.update("jax_compilation_cache_dir", path)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass
 
 
 def is_main_process() -> bool:
