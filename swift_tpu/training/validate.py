@@ -151,3 +151,79 @@ def RMSE_rollout(
             break
 
     return agg_total / count, arr_total / count
+
+
+def main(argv=None):
+    """Offline checkpoint evaluation CLI (reference validate.py:130-191):
+    ``python -m swift_tpu.training.validate --input <run_dir>
+    [--batch N] [--samples N] [--target_interval 56]``."""
+    import argparse
+    import os
+    import random
+
+    from swift_tpu import config as cfglib
+    from swift_tpu import factory
+    from swift_tpu.data.samplers import AttributeSubset
+    from swift_tpu.sampling.factory import param_sampler_factory
+    from swift_tpu.utils.checkpoint import latest_checkpoint, load_checkpoint
+    from swift_tpu.utils.io import log0, setup_compilation_cache
+
+    p = argparse.ArgumentParser()
+    p.add_argument("--input", required=True, help="Input run directory")
+    p.add_argument("--batch", type=int, default=32)
+    p.add_argument("--samples", type=int, default=-1)
+    p.add_argument("--target_interval", type=int, default=56,
+                   help="number of 6-hour intervals to predict ahead")
+    p.add_argument("--solver", type=str, default="dpm")
+    p.add_argument("--seed", type=int, default=0)
+    args = p.parse_args(argv)
+
+    setup_compilation_cache()
+    cfg = cfglib.resolve_interpolations(
+        cfglib.load_config(os.path.join(args.input, ".hydra", "config.yaml"))
+    )
+    dataset = factory.build_rollout_dataset(
+        cfg["data"], args.target_interval, split="test"
+    )
+    n = len(dataset) if args.samples == -1 else args.samples
+    strt = random.Random(args.seed).randint(0, max(len(dataset) - n, 0))
+    subset = AttributeSubset(dataset, list(range(strt, strt + n)))
+
+    precond = factory.build_precond(
+        cfg["precond"], cfg["model"], dataset.img_resolution,
+        dataset.n_target_channels, dataset.n_condition_channels,
+        sigma_max_override=float("inf"),
+    )
+    import jax
+
+    params = precond.init(jax.random.PRNGKey(0))
+    ckpt = latest_checkpoint(os.path.join(args.input, "checkpoints"))
+    assert ckpt, "no checkpoints found"
+    ema = load_checkpoint(ckpt, {"ema": params})["ema"]
+    sampler = param_sampler_factory(
+        args.solver, precond, **(cfg.get("solver") or {})
+    )
+
+    def batches():
+        import numpy as np
+
+        for b0 in range(0, len(subset), args.batch):
+            chunk = [subset[i] for i in range(b0, min(b0 + args.batch, len(subset)))]
+            yield (
+                np.stack([c[0] for c in chunk]),
+                np.stack([c[1] for c in chunk]),
+                np.asarray([c[2] for c in chunk]),
+            )
+
+    agg, arr = RMSE_rollout(
+        sampler, ema, batches(), dataset, args.target_interval,
+        jax.random.PRNGKey(args.seed),
+    )
+    log0(f"aggregate rmse: {agg}")
+    for v, row in zip(dataset.variables, arr):
+        log0(f"rmse[{v}]: {[round(float(x), 4) for x in row]}")
+    return agg, arr
+
+
+if __name__ == "__main__":
+    main()
