@@ -160,11 +160,12 @@ class WindowAttention(nn.Module):
         use_pallas = self.use_pallas
         if use_pallas is None:
             use_pallas = jax.default_backend() == "tpu"
-        attn_fn = (
-            fused_window_attention
-            if (use_pallas and not jvp)
-            else reference_window_attention
-        )
+        if use_pallas:
+            # jvp=True: fused primal + forward-mode tangent rule (the sCM
+            # tangent path; see pallas_attention._sdpa_jvp_capable).
+            attn_fn = lambda *a: fused_window_attention(*a, jvp=jvp)
+        else:
+            attn_fn = reference_window_attention
         out = attn_fn(to_heads(q), to_heads(k), to_heads(v), logit_scale)
         out = (
             out.reshape(B, nW, self.heads, n, self.head_dim)

@@ -128,13 +128,52 @@ def _sdpa_vjp_bwd(res, do):
 _sdpa.defvjp(_sdpa_vjp_fwd, _sdpa_vjp_bwd)
 
 
-def fused_window_attention(q, k, v, scale):
+@jax.custom_jvp
+def _sdpa_jvp_capable(q, k, v):
+    """Same fused primal as ``_sdpa`` but with a forward-mode rule: the sCM
+    loss differentiates the network with ``jax.jvp`` (reference
+    loss.py:212-220), and its jvp result is stop_gradient'ed, so this path
+    never needs reverse-mode. The tangent rule recomputes softmax in jnp
+    (XLA) — the primal still rides the Pallas kernel."""
+    return _sdpa_fwd(q, k, v)
+
+
+@_sdpa_jvp_capable.defjvp
+def _sdpa_jvp_rule(primals, tangents):
+    q, k, v = primals
+    dq, dk, dv = tangents
+    mm = v.dtype
+    # primal on the fused kernel via the custom_vjp wrapper, so an outer
+    # reverse-mode transform can still linearize through this rule.
+    o = _sdpa(q, k, v)
+    s = jnp.einsum("bhnd,bhmd->bhnm", q.astype(mm), k.astype(mm),
+                   preferred_element_type=jnp.float32)
+    p = jax.nn.softmax(s, axis=-1)  # tangents need the probabilities
+    ds = (
+        jnp.einsum("bhnd,bhmd->bhnm", dq.astype(mm), k.astype(mm),
+                   preferred_element_type=jnp.float32)
+        + jnp.einsum("bhnd,bhmd->bhnm", q.astype(mm), dk.astype(mm),
+                     preferred_element_type=jnp.float32)
+    )
+    dp = p * (ds - jnp.sum(p * ds, axis=-1, keepdims=True))
+    do = (
+        jnp.einsum("bhnm,bhmd->bhnd", dp.astype(mm), v,
+                   preferred_element_type=jnp.float32)
+        + jnp.einsum("bhnm,bhmd->bhnd", p.astype(mm), dv,
+                     preferred_element_type=jnp.float32)
+    ).astype(v.dtype)
+    return o, do
+
+
+def fused_window_attention(q, k, v, scale, jvp: bool = False):
     """Cosine attention, pallas-fused core. q/k/v: (BW, h, n, d);
-    scale: (h,) — the already-exp'ed, clamped per-head logit scale."""
+    scale: (h,) — the already-exp'ed, clamped per-head logit scale.
+    ``jvp=True`` selects the forward-mode-differentiable variant (fused
+    primal, jnp tangent rule)."""
     qn = (_normalize(q.astype(jnp.float32))
           * scale.astype(jnp.float32)[None, :, None, None]).astype(v.dtype)
     kn = _normalize(k.astype(jnp.float32)).astype(v.dtype)
-    return _sdpa(qn, kn, v)
+    return _sdpa_jvp_capable(qn, kn, v) if jvp else _sdpa(qn, kn, v)
 
 
 def reference_window_attention(q, k, v, scale):

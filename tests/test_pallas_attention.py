@@ -64,6 +64,60 @@ def test_backward_matches_reference():
         )
 
 
+def test_jvp_variant_matches_reference():
+    """jax.jvp through the jvp-capable fused path == jvp through the jnp
+    reference (the sCM tangent computation)."""
+    q, k, v, scale = _inputs(2)
+    tq, tk, tv = (jax.random.normal(jax.random.PRNGKey(9 + i), q.shape)
+                  for i in range(3))
+
+    def f_pallas(q, k, v):
+        return pa.fused_window_attention(q, k, v, scale, jvp=True)
+
+    def f_ref(q, k, v):
+        return pa.reference_window_attention(q, k, v, scale)
+
+    op, dop = jax.jvp(f_pallas, (q, k, v), (tq, tk, tv))
+    orf, dorf = jax.jvp(f_ref, (q, k, v), (tq, tk, tv))
+    np.testing.assert_allclose(np.asarray(op), np.asarray(orf), rtol=2e-2, atol=2e-2)
+    np.testing.assert_allclose(np.asarray(dop), np.asarray(dorf), rtol=5e-2, atol=5e-2)
+
+
+def test_scm_loss_grad_with_pallas_model():
+    """value_and_grad of the sCM loss through a pallas-enabled model: the
+    outer grad flows through the custom_vjp path while the inner jax.jvp
+    (stop-gradient'ed) uses the custom_jvp path."""
+    import jax.numpy as jnp
+
+    from swift_tpu.models.precond import PassPrecond
+    from swift_tpu.models.swinv2 import SwinV2
+    from swift_tpu.training.loss import SCMLoss
+
+    Hh, Ww, C = 8, 16, 3
+    model = SwinV2(
+        img_resolution=(Hh, Ww), in_channels=2 * C, out_channels=C,
+        window_size=(2, 2), shift_size=(1, 1), patch_size=(2, 2),
+        depth=2, dim=32, heads=4, logvar=True, dtype=jnp.float32,
+        use_pallas=True,
+    )
+    p = PassPrecond(model=model, img_resolution=(Hh, Ww), img_channels=C,
+                    condition_channels=C, sigma_data=1.0)
+    params = p.init(jax.random.PRNGKey(0))
+    loss = SCMLoss(
+        precond=p, lat_dim=Hh,
+        variables=("2m_temperature", "geopotential_500", "temperature_850"),
+        noise={"dist": "loguniform", "sigma_min": 0.02, "sigma_max": 200.0},
+    )
+    x = jax.random.normal(jax.random.PRNGKey(1), (2, Hh, Ww, C))
+    cond = jax.random.normal(jax.random.PRNGKey(2), (2, Hh, Ww, C))
+    val, grads = jax.value_and_grad(loss)(
+        params, jax.random.PRNGKey(3), x, jnp.float32(0.0), cond
+    )
+    assert np.isfinite(float(val))
+    assert all(np.isfinite(np.asarray(g)).all()
+               for g in jax.tree_util.tree_leaves(grads))
+
+
 def test_swinv2_pallas_flag_consistency():
     """SwinV2 outputs with use_pallas (interpreted) vs jnp path agree."""
     from swift_tpu.models.swinv2 import SwinV2
