@@ -254,6 +254,7 @@ def build_optimizer(
     global_batch_size: int,
     params,
     resume_kimg: int = 0,
+    mesh=None,
 ) -> optax.GradientTransformation:
     cfg = dict(optimizer_cfg)
     target = _suffix(cfg.pop("_target_", "Adam"))
@@ -291,6 +292,7 @@ def build_optimizer(
             adam_betas=(float(betas[0]), float(betas[1])),
             adam_weight_decay=float(cfg.get("adam_weight_decay", 0.01)),
             adam_eps=float(cfg.get("adam_eps", 1e-10)),
+            mesh=mesh,
         )
     if target == "MARS":
         return mars(

@@ -206,7 +206,7 @@ def main(argv=None):
     )
     optimizer = factory.build_optimizer(
         cfg["optimizer"], cfg["trainer"], global_batch, params_template,
-        resume_kimg=resume_kimg,
+        resume_kimg=resume_kimg, mesh=mesh,
     )
 
     # validation rollout data (reference train.py:222-260)

@@ -77,15 +77,59 @@ class MuonState(NamedTuple):
     momentum: Any
 
 
+def _sharded_orthogonalize(u: jnp.ndarray, ns_steps: int, mesh, axis: str):
+    """Partition a stacked (P, m, n) Newton-Schulz over the mesh axis — the
+    mesh-native analogue of the reference's round-robin rank sharding +
+    all_gather (muon.py:88-110): each device orthogonalizes its slice of
+    the layer stack; the out_spec all_gathers the results.
+    """
+    from jax.experimental.shard_map import shard_map
+    from jax.sharding import PartitionSpec as P
+
+    n_dev = mesh.shape[axis]
+    P0 = u.shape[0]
+    pad = (-P0) % n_dev
+    if pad:
+        u = jnp.concatenate([u, jnp.zeros((pad, *u.shape[1:]), u.dtype)], 0)
+
+    fn = shard_map(
+        lambda x: _orthogonalized_update(x, ns_steps),
+        mesh=mesh,
+        in_specs=P(axis),
+        out_specs=P(axis),
+    )
+    out = fn(u)
+    return out[:P0] if pad else out
+
+
 def scale_by_muon(
     momentum: float = 0.95,
     ns_steps: int = 5,
     nesterov: bool = True,
+    mesh=None,
+    shard_axis: str = "data",
 ) -> optax.GradientTransformation:
-    """Raw Muon direction: momentum + Newton-Schulz orthogonalization."""
+    """Raw Muon direction: momentum + Newton-Schulz orthogonalization.
+
+    With ``mesh``, stacked (scan-over-layers) parameters have their NS work
+    sharded across ``shard_axis`` instead of being computed redundantly on
+    every device.
+    """
 
     def init_fn(params):
         return MuonState(momentum=jax.tree_util.tree_map(jnp.zeros_like, params))
+
+    def _ortho(u):
+        if u.ndim < 2:
+            return u
+        if (
+            mesh is not None
+            and u.ndim == 3
+            and shard_axis in mesh.axis_names
+            and mesh.shape[shard_axis] > 1
+        ):
+            return _sharded_orthogonalize(u, ns_steps, mesh, shard_axis)
+        return _orthogonalized_update(u, ns_steps)
 
     def update_fn(updates, state, params=None):
         new_momentum = jax.tree_util.tree_map(
@@ -97,12 +141,7 @@ def scale_by_muon(
             )
         else:
             blended = new_momentum
-        ortho = jax.tree_util.tree_map(
-            lambda u: _orthogonalized_update(u, ns_steps)
-            if u.ndim >= 2
-            else u,
-            blended,
-        )
+        ortho = jax.tree_util.tree_map(_ortho, blended)
         return ortho, MuonState(momentum=new_momentum)
 
     return optax.GradientTransformation(init_fn, update_fn)
@@ -114,10 +153,12 @@ def muon(
     ns_steps: int = 5,
     nesterov: bool = True,
     weight_decay: float = 0.0,
+    mesh=None,
+    shard_axis: str = "data",
 ) -> optax.GradientTransformation:
     """Standalone Muon with AdamW-style decoupled weight decay."""
     return optax.chain(
-        scale_by_muon(momentum, ns_steps, nesterov),
+        scale_by_muon(momentum, ns_steps, nesterov, mesh, shard_axis),
         optax.add_decayed_weights(weight_decay),
         optax.scale_by_learning_rate(learning_rate),
     )
@@ -171,16 +212,20 @@ def muon_with_aux_adam(
     adam_betas: tuple[float, float] = (0.9, 0.95),
     adam_weight_decay: float = 0.01,
     adam_eps: float = 1e-10,
+    mesh=None,
+    shard_axis: str = "data",
 ) -> optax.GradientTransformation:
     """Combined Muon + aux Adam (reference muon.py:157-262).
 
     ``param_labels(params)`` returns a pytree of "muon"/"adam" labels; the
     canonical labeler for SwinV2 lives in ``swift_tpu.training.trainer``
-    (matches reference train.py:296-311).
+    (matches reference train.py:296-311). With ``mesh``, Newton-Schulz work
+    on stacked layer parameters is sharded over ``shard_axis``.
     """
     return optax.multi_transform(
         {
-            "muon": muon(lr, momentum, ns_steps, True, weight_decay),
+            "muon": muon(lr, momentum, ns_steps, True, weight_decay,
+                         mesh, shard_axis),
             "adam": _aux_adam(adam_lr, adam_betas, adam_eps, adam_weight_decay),
         },
         param_labels,

@@ -89,6 +89,31 @@ def test_mars_descends(mtype):
     assert l1 < l0 * 0.8, f"{mtype}: {l0} -> {l1}"
 
 
+def test_muon_sharded_ns_matches_unsharded():
+    """Stacked-layer NS sharded over an 8-device mesh == the replicated
+    computation (the mesh analogue of reference muon.py:88-110)."""
+    from jax.sharding import Mesh
+
+    mesh = Mesh(np.array(jax.devices()[:8]), ("data",))
+    params = {
+        "stack": jax.random.normal(jax.random.PRNGKey(0), (6, 16, 32)) * 0.1,
+        "mat": jax.random.normal(jax.random.PRNGKey(1), (16, 16)) * 0.1,
+    }
+    grads = jax.tree_util.tree_map(
+        lambda p: jax.random.normal(jax.random.PRNGKey(2), p.shape), params
+    )
+    opt_ref = muon(learning_rate=0.05)
+    opt_shard = muon(learning_rate=0.05, mesh=mesh)
+    with mesh:
+        u_ref, _ = opt_ref.update(grads, opt_ref.init(params), params)
+        u_shard, _ = opt_shard.update(grads, opt_shard.init(params), params)
+    for a, b in zip(
+        jax.tree_util.tree_leaves(u_ref), jax.tree_util.tree_leaves(u_shard)
+    ):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=2e-2,
+                                   atol=2e-2)
+
+
 def test_mars_jittable():
     params = {"w": jnp.ones((4, 4))}
     opt = mars(learning_rate=0.01)
