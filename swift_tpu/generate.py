@@ -132,19 +132,31 @@ def main(args):
     params = precond.init(jax.random.PRNGKey(0))
     if args.checkpoint is not None:
         name = args.checkpoint
-        if not name.endswith(".npz"):
+        if not (name.endswith(".npz") or name.endswith(".pt")):
             name += ".npz"
-        ckpt = os.path.join(args.input, "checkpoints", name)
+        ckpt = name if os.path.exists(name) else os.path.join(
+            args.input, "checkpoints", name
+        )
         if not os.path.exists(ckpt):
             raise ValueError(f"Specified checkpoint {ckpt} does not exist")
-        ckpt_basename = os.path.basename(name)[: -len(".npz")]
+        ckpt_basename = os.path.splitext(os.path.basename(ckpt))[0]
     else:
         ckpt = latest_checkpoint(os.path.join(args.input, "checkpoints"))
         assert ckpt, f"No checkpoints in {os.path.join(args.input, 'checkpoints')}"
         ckpt_basename = "latest"
     log0(f"Loading checkpoint: {ckpt}")
-    restored = load_checkpoint(ckpt, {"ema": params})
-    ema_params = restored["ema"]
+    if ckpt.endswith(".pt"):
+        # reference torch checkpoint: EMA state_dict -> flax params
+        # (checkpoint interchange, BASELINE.md north star).
+        from swift_tpu.models.convert import load_reference_checkpoint
+
+        model_params = load_reference_checkpoint(
+            ckpt, depth=int(cfg["model"]["depth"]),
+            scan_layers="pairs" in params,
+        )
+        ema_params = model_params
+    else:
+        ema_params = load_checkpoint(ckpt, {"ema": params})["ema"]
 
     mesh = make_mesh(("data",))
     log0(f"Mesh: {mesh}")

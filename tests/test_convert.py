@@ -251,6 +251,23 @@ def test_forward_parity(models):
     np.testing.assert_allclose(np.asarray(jlv), tlv.numpy(), rtol=2e-4, atol=2e-4)
 
 
+def test_load_reference_pt_checkpoint(models, tmp_path):
+    """A torch-saved reference checkpoint ({'ema': state_dict}) loads into
+    the scan-layers param layout and reproduces the converted forward."""
+    from swift_tpu.models.convert import load_reference_checkpoint
+
+    tm, jm, params = models
+    path = str(tmp_path / "checkpoint-000001.pt")
+    torch.save({"ema": tm.state_dict_reference_layout()}, path)
+    loaded = load_reference_checkpoint(path, DEPTH, scan_layers="pairs" in params)
+    for (p1, l1), (p2, l2) in zip(
+        jax.tree_util.tree_flatten_with_path(params)[0],
+        jax.tree_util.tree_flatten_with_path(loaded)[0],
+    ):
+        assert p1 == p2
+        np.testing.assert_allclose(np.asarray(l1), np.asarray(l2), atol=1e-6)
+
+
 def test_state_dict_roundtrip(models):
     tm, jm, params = models
     sd = swinv2_params_to_state_dict(params)
