@@ -1,0 +1,73 @@
+"""Parameter sharding rules — tensor parallelism as GSPMD annotations.
+
+The reference never implemented TP/SP/PP (stubs only, SURVEY.md §2.3); on
+TPU, tensor parallelism is a set of parameter shardings over a 2-D
+``(data, model)`` mesh — XLA inserts the all-gathers/reduce-scatters.
+
+SwinV2 rules (Megatron-style column/row split per block):
+  * ``to_qkv`` / ``w1`` kernels: output features sharded over ``model``
+    (column-parallel; the head and hidden dims split across devices);
+  * ``wo`` / ``w2`` kernels: input features sharded over ``model``
+    (row-parallel; XLA emits one psum per block pair);
+  * everything else (embeddings, norms, modulation, head) replicated.
+
+Scan-over-layers parameters carry a leading layer axis, so the feature
+axes shift by one.
+
+Note: the fused Pallas attention path is not GSPMD-partitioned yet — use
+``use_pallas=False`` (or 1-way model axis) when sharding over ``model``.
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def _spec_for(path: tuple, leaf, axis: str) -> P:
+    names = [str(getattr(p, "key", p)) for p in path]
+    joined = "/".join(names)
+    stacked = "pairs" in joined  # leading layer axis from nn.scan
+    off = 1 if stacked else 0
+
+    def spec(*entries):
+        lead = (None,) * off
+        return P(*lead, *entries)
+
+    if names[-1] == "kernel":
+        if "to_qkv" in joined or "w1" in joined:
+            # column parallel: (in, out) -> out over `axis`
+            return spec(None, axis)
+        if "wo" in joined or "w2" in joined:
+            # row parallel: (in, out) -> in over `axis`
+            return spec(axis, None)
+    return P()  # replicated
+
+
+def swinv2_param_shardings(params: Any, mesh: Mesh, axis: str = "model"):
+    """Pytree of NamedShardings implementing TP for SwinV2 params.
+
+    Falls back to full replication for parameters whose sharded dimension
+    does not divide the mesh axis size.
+    """
+    n = mesh.shape[axis]
+
+    def make(path, leaf):
+        spec = _spec_for(path, leaf, axis)
+        # validate divisibility; replicate otherwise.
+        for dim, entry in enumerate(spec):
+            if entry == axis and leaf.shape[dim] % n != 0:
+                spec = P()
+                break
+        return NamedSharding(mesh, spec)
+
+    return jax.tree_util.tree_map_with_path(make, params)
+
+
+def shard_params(params: Any, mesh: Mesh, axis: str = "model"):
+    """device_put params according to the TP rules."""
+    shardings = swinv2_param_shardings(params, mesh, axis)
+    return jax.tree_util.tree_map(jax.device_put, params, shardings)

@@ -1,0 +1,109 @@
+"""Tensor parallelism: sharded params produce identical outputs and a
+working train step over a (data, model) mesh."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+import pytest
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from swift_tpu.models.precond import PassPrecond
+from swift_tpu.models.swinv2 import SwinV2
+from swift_tpu.parallel.sharding import shard_params, swinv2_param_shardings
+from swift_tpu.training.loss import TrigFlowLoss
+from swift_tpu.training.trainer import Trainer
+
+H, W, C = 8, 16, 4
+
+
+def make(dim=64, heads=4):
+    model = SwinV2(
+        img_resolution=(H, W), in_channels=2 * C, out_channels=C,
+        window_size=(2, 2), shift_size=(1, 1), patch_size=(2, 2),
+        depth=2, dim=dim, heads=heads, logvar=True, dtype=jnp.float32,
+        use_pallas=False,
+    )
+    return PassPrecond(model=model, img_resolution=(H, W), img_channels=C,
+                       condition_channels=C, sigma_data=1.0)
+
+
+def test_sharding_rules_split_the_right_axes():
+    p = make()
+    params = p.init(jax.random.PRNGKey(0))
+    mesh = Mesh(np.array(jax.devices()).reshape(4, 2), ("data", "model"))
+    shardings = swinv2_param_shardings(params, mesh)
+    flat = {
+        "/".join(str(getattr(k, "key", k)) for k in path): s
+        for path, s in jax.tree_util.tree_flatten_with_path(shardings)[0]
+    }
+    assert flat["pairs/even/attn/to_qkv/kernel"].spec == P(None, None, "model")
+    assert flat["pairs/even/attn/wo/kernel"].spec == P(None, "model", None)
+    assert flat["pairs/even/ff/w1/kernel"].spec == P(None, None, "model")
+    assert flat["pairs/even/ff/w2/kernel"].spec == P(None, "model", None)
+    assert flat["pos_embed"].spec == P()
+    assert flat["patch_embed/kernel"].spec == P()
+
+
+def test_tp_forward_matches_replicated():
+    p = make()
+    params = p.init(jax.random.PRNGKey(0))
+    # non-trivial weights (zero-init head would hide errors)
+    params = jax.tree_util.tree_map(
+        lambda a: a + 0.01 * np.random.default_rng(0).standard_normal(a.shape).astype(np.float32),
+        params,
+    )
+    x = jax.random.normal(jax.random.PRNGKey(1), (4, H, W, C))
+    cond = jax.random.normal(jax.random.PRNGKey(2), (4, H, W, C))
+    t = jnp.array([0.5, 1.0, 0.2, 0.9])
+
+    y_ref = p.apply(params, x, t, condition=cond)
+
+    mesh = Mesh(np.array(jax.devices()).reshape(4, 2), ("data", "model"))
+    with jax.sharding.use_mesh(mesh) if hasattr(jax.sharding, "use_mesh") else mesh:
+        sharded = shard_params(params, mesh)
+        xb = jax.device_put(x, NamedSharding(mesh, P("data")))
+        y_tp = jax.jit(
+            lambda pp, xx: p.apply(pp, xx, t, condition=cond)
+        )(sharded, xb)
+    np.testing.assert_allclose(np.asarray(y_tp), np.asarray(y_ref),
+                               rtol=2e-4, atol=2e-4)
+
+
+def test_tp_train_step():
+    """Full train step with params sharded over model axis + batch over data."""
+    p = make()
+    loss = TrigFlowLoss(
+        precond=p, lat_dim=H,
+        variables=("2m_temperature", "geopotential_500", "temperature_850",
+                   "specific_humidity_700"),
+        noise={"dist": "loguniform", "sigma_min": 0.02, "sigma_max": 200.0},
+    )
+    tr = Trainer(p, optax.adamw(1e-3), loss, global_batch_size=4,
+                 total_kimg=1, run_dir="/tmp/tp_test", checkpoint_ticks=None,
+                 val_ticks=None)
+    mesh = Mesh(np.array(jax.devices()).reshape(4, 2), ("data", "model"))
+    state = tr.state
+    sharded_params = shard_params(state.params, mesh)
+    sharded_ema = shard_params(state.ema, mesh)
+    opt_state = jax.device_put(state.opt_state, NamedSharding(mesh, P()))
+    state = type(state)(sharded_params, sharded_ema, opt_state, state.nimg)
+
+    k = jax.random.PRNGKey(0)
+    batch = {
+        "x": jax.device_put(
+            jax.random.normal(k, (4, H, W, C)), NamedSharding(mesh, P("data"))
+        ),
+        "t": jax.device_put(
+            jax.random.normal(jax.random.fold_in(k, 1), (4, H, W, C)),
+            NamedSharding(mesh, P("data")),
+        ),
+        "idx": jnp.arange(4, dtype=jnp.int32),
+        "delta": jnp.full((4, 1), 0.6),
+    }
+    step = tr._get_step(1, None)
+    new_state, metrics = step(state, batch, jax.random.PRNGKey(3))
+    assert np.isfinite(float(metrics["loss"]))
+    # TP params keep their sharding through the update
+    qkv = new_state.params["pairs"]["even"]["attn"]["to_qkv"]["kernel"]
+    assert not qkv.sharding.is_fully_replicated
