@@ -12,7 +12,6 @@ Design stance (see SURVEY.md §7):
     fp32 parameters.
 """
 
-import os
 from pathlib import Path
 
 PROJECT_DIR = Path(__file__).resolve().parent.parent

@@ -154,7 +154,6 @@ def _write_stats(out_root: str, variables: list[str], splits,
     """Compute normalize_mean/std and per-interval residual stds from the
     train split (reference derives these offline; same file layout,
     era5.py:88-108)."""
-    from swift_tpu.data.era5 import ERA5Dataset
 
     import h5py
     from glob import glob

@@ -8,7 +8,6 @@ type-checked and import-safe.
 
 from __future__ import annotations
 
-import math
 from typing import Any, Optional
 
 import jax.numpy as jnp

@@ -22,7 +22,7 @@ Channels-last NHWC, same TPU conventions as swinv2.py.
 from __future__ import annotations
 
 import math
-from typing import Any, Optional, Sequence
+from typing import Any, Sequence
 
 import jax
 import jax.numpy as jnp

@@ -22,7 +22,6 @@ flash under forward-mode AD, swinv2.py:129).
 
 from __future__ import annotations
 
-import functools
 
 import jax
 import jax.numpy as jnp

@@ -17,7 +17,6 @@ import numpy as np
 
 def _select(group, name: str, sample: int, member: int):
     """Resolve "geopotential_500"-style names against the store layout."""
-    from swift_tpu.data.constants import compress_variables
 
     if name in group.array_names():
         arr = group[name]

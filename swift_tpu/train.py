@@ -20,7 +20,6 @@ import shutil
 import sys
 from datetime import datetime
 from glob import glob
-from pathlib import Path
 
 import jax
 import numpy as np

@@ -16,7 +16,6 @@ itself adapted from AGI-Arena/MARS, arXiv 2411.10438), approximate variant
 
 from __future__ import annotations
 
-import math
 from typing import Any, NamedTuple
 
 import jax

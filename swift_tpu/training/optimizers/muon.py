@@ -21,7 +21,7 @@ over the mesh axis is a later optimization — see PLAN in docs.)
 
 from __future__ import annotations
 
-from typing import Any, Callable, NamedTuple, Optional
+from typing import Any, Callable, NamedTuple
 
 import jax
 import jax.numpy as jnp

@@ -23,10 +23,8 @@ jits one step function per (steps, Δ) pair (SURVEY.md §7.3).
 from __future__ import annotations
 
 import json
-import math
 import os
 import time
-from functools import partial
 from typing import Any, Callable, NamedTuple, Optional
 
 import jax

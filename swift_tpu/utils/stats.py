@@ -14,7 +14,7 @@ tensor (stats.py:283-315) is unnecessary in-process. For multi-host runs,
 from __future__ import annotations
 
 import re
-from typing import Optional
+
 
 import numpy as np
 
