@@ -10,6 +10,7 @@ exercised without real WeatherBench2 downloads.
 from __future__ import annotations
 
 import os
+import zlib
 
 import numpy as np
 
@@ -48,14 +49,14 @@ def make_synthetic_era5(
                 for v in all_vars:
                     # smooth-ish fields with a per-variable offset so
                     # standardize round-trips are non-trivial
-                    base = float(hash(v) % 7)
+                    base = float(zlib.crc32(v.encode()) % 7)  # deterministic across processes
                     field = base + rng.normal(size=(H, W)).astype(np.float32)
                     grp.create_dataset(v, data=field)
                 ts = t0 + np.timedelta64(6 * global_idx, "h")
                 grp.create_dataset("time", data=np.bytes_(str(ts)))
             global_idx += 1
 
-    means = {v: np.float32(float(hash(v) % 7)) for v in all_vars}
+    means = {v: np.float32(float(zlib.crc32(v.encode()) % 7)) for v in all_vars}
     stds = {v: np.float32(1.0) for v in all_vars}
     np.savez(os.path.join(root, "normalize_mean.npz"), **means)
     np.savez(os.path.join(root, "normalize_std.npz"), **stds)

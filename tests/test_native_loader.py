@@ -62,6 +62,29 @@ def test_fused_batch_matches_python_dataset(packed):
     pd.close()
 
 
+def test_batchloader_pack_fast_path(packed):
+    """BatchLoader with a .pack present produces batches identical to the
+    h5 path for uniform-delta single-step specs."""
+    from swift_tpu.data.pipeline import BatchLoader
+
+    ds, path = packed
+
+    class FixedSampler:
+        def __iter__(self):
+            yield from [(0, 1, 12), (2, 1, 12), (4, 1, 12)]
+
+    fast = BatchLoader(ds, FixedSampler(), batch_size=3, num_workers=2)
+    assert fast._pack is not None, "pack fast path not engaged"
+    slow = BatchLoader(ds, FixedSampler(), batch_size=3, num_workers=2,
+                       use_pack=False)
+    fb = next(iter(fast))
+    sb = next(iter(slow))
+    np.testing.assert_allclose(fb["x"], sb["x"], rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(fb["t"], sb["t"], rtol=1e-5, atol=1e-5)
+    np.testing.assert_array_equal(fb["idx"], sb["idx"])
+    np.testing.assert_allclose(fb["delta"], sb["delta"], rtol=1e-6)
+
+
 def test_numpy_fallback_matches_native(packed):
     ds, path = packed
     pd_native = PackedDataset(path)
