@@ -348,6 +348,25 @@ class Trainer:
         if self.profile:
             jax.profiler.start_trace(os.path.join(self.run_dir, "profile"))
 
+        # fault tolerance: a SIGTERM/SIGINT (preemption, maintenance event)
+        # requests a checkpoint at the next tick boundary instead of dying
+        # mid-step — the in-process half of the job-level chain-resume story
+        # (reference relies solely on PBS afterany chains,
+        # scripts/chain-resume.sh:37-43).
+        interrupted = {"flag": False}
+        prev_handlers = {}
+        import signal
+
+        def _request_stop(signum, frame):
+            logger.warning(f"signal {signum}: checkpointing at next tick")
+            interrupted["flag"] = True
+
+        try:
+            for sig in (signal.SIGTERM, signal.SIGINT):
+                prev_handlers[sig] = signal.signal(sig, _request_stop)
+        except ValueError:
+            prev_handlers = {}  # not on the main thread (tests)
+
         while True:
             t0_iter = time.perf_counter()
 
@@ -385,7 +404,7 @@ class Trainer:
             self.state, metrics_dev = step_fn(self.state, batch, key)
             i += 1
             global_nimg += self.global_batch_size
-            done = global_nimg >= self.total_kimg * 1000
+            done = global_nimg >= self.total_kimg * 1000 or interrupted["flag"]
 
             if (
                 (not done)
@@ -470,6 +489,13 @@ class Trainer:
             if done:
                 if self.profile:
                     jax.profiler.stop_trace()
+                import signal
+
+                for sig, h in prev_handlers.items():
+                    signal.signal(sig, h)
+                if interrupted["flag"]:
+                    logger.warning("stopped by signal; checkpoint saved — "
+                                   "resume with resume=<this run id>")
                 hours = (tick_end_time - start_time) / 3600
                 logger.info(f"Finished training in {hours:.2f} hours")
                 if stats_jsonl is not None:

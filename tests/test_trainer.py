@@ -177,6 +177,49 @@ def test_checkpoint_resume(tmp_path):
         np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
 
 
+def test_muon_train_step_descends(tmp_path):
+    """Full train step with the flagship optimizer (Muon + aux Adam,
+    reference param-grouping rule) on a pallas-free tiny model."""
+    from swift_tpu.training.optimizers import muon_with_aux_adam
+    from swift_tpu.training.trainer import muon_param_labels
+
+    p = make_precond()
+    opt = muon_with_aux_adam(muon_param_labels, lr=0.02, adam_lr=1e-3)
+    tr = Trainer(p, opt, make_loss(p), global_batch_size=4, total_kimg=1,
+                 run_dir=str(tmp_path), checkpoint_ticks=None, val_ticks=None)
+    step = tr._get_step(1, None)
+    state = tr.state
+    losses = []
+    key = jax.random.PRNGKey(7)
+    batch = fixed_batch()
+    for _ in range(40):
+        state, m = step(state, batch, key)
+        losses.append(float(m["loss"]))
+    assert np.isfinite(losses).all()
+    assert losses[-1] < losses[0], f"muon no descent: {losses[0]} -> {losses[-1]}"
+
+
+def test_sigterm_checkpoints_and_stops(tmp_path):
+    """SIGTERM mid-training saves a checkpoint and exits cleanly."""
+    import signal
+    import threading
+
+    p = make_precond()
+    tr = Trainer(
+        p, optax.adamw(1e-3), make_loss(p), global_batch_size=4,
+        total_kimg=10**6, kimg_per_tick=1, checkpoint_ticks=100,
+        val_ticks=None, run_dir=str(tmp_path),
+    )
+    timer = threading.Timer(
+        8.0, lambda: signal.raise_signal(signal.SIGTERM)
+    )
+    timer.start()
+    tr.train(repeat_batches(fixed_batch()))
+    timer.cancel()
+    ckpts = os.listdir(tmp_path / "checkpoints")
+    assert ckpts, "no checkpoint written on SIGTERM"
+
+
 def test_multi_device_dp():
     """Train step over an 8-device data mesh: batch sharded, params replicated."""
     from swift_tpu.parallel.mesh import make_mesh, replicate, shard_batch
