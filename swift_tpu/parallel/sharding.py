@@ -71,3 +71,17 @@ def shard_params(params: Any, mesh: Mesh, axis: str = "model"):
     """device_put params according to the TP rules."""
     shardings = swinv2_param_shardings(params, mesh, axis)
     return jax.tree_util.tree_map(jax.device_put, params, shardings)
+
+
+def spatial_sharding(mesh: Mesh, ndim: int, lat_dim: int = 1,
+                     axis: str = "data") -> NamedSharding:
+    """Sequence/spatial parallelism: shard the latitude axis of an NHWC
+    tensor over the mesh. Window attention is local in space, so GSPMD
+    partitions the whole forward with only halo exchanges at the cyclic
+    shifts — the window-parallel CP analogue sketched in SURVEY.md §5.7
+    (how 0.25° grids scale past one chip's batch-1 latency). Verified to
+    reproduce the replicated forward exactly (tests/test_tensor_parallel).
+    """
+    spec = [None] * ndim
+    spec[lat_dim] = axis
+    return NamedSharding(mesh, P(*spec))

@@ -105,11 +105,18 @@ class EnsembleRollout:
         if self.mesh is None:
             return jnp.asarray(x)
         D = int(np.prod([self.mesh.shape[a] for a in self.mesh.axis_names]))
-        if x.shape[0] % D != 0:
-            # replicated fallback (the batch doesn't tile the mesh).
-            return jax.device_put(x, NamedSharding(self.mesh, P()))
-        spec = P("data", *([None] * (x.ndim - 1)))
-        return jax.device_put(x, NamedSharding(self.mesh, spec))
+        if x.shape[0] % D == 0:
+            spec = P("data", *([None] * (x.ndim - 1)))
+            return jax.device_put(x, NamedSharding(self.mesh, spec))
+        # small member*ic batches: fall back to SPATIAL sharding — split the
+        # latitude axis over the mesh (window attention is spatially local,
+        # GSPMD only adds halo exchanges at the shifts).
+        lat_dim = x.ndim - 3  # (..., H, W, C)
+        if x.ndim >= 3 and x.shape[lat_dim] % D == 0:
+            spec = [None] * x.ndim
+            spec[lat_dim] = "data"
+            return jax.device_put(x, NamedSharding(self.mesh, P(*spec)))
+        return jax.device_put(x, NamedSharding(self.mesh, P()))
 
     def run(
         self,

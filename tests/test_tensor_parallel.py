@@ -70,6 +70,32 @@ def test_tp_forward_matches_replicated():
                                rtol=2e-4, atol=2e-4)
 
 
+def test_spatial_parallel_forward_matches():
+    """SP: batch-1 forward with the latitude axis sharded over 8 devices
+    reproduces the replicated result (the 0.25° scaling path)."""
+    from swift_tpu.parallel.sharding import spatial_sharding
+
+    p = make()
+    params = p.init(jax.random.PRNGKey(0))
+    params = jax.tree_util.tree_map(
+        lambda a: a + 0.01 * np.random.default_rng(1).standard_normal(a.shape).astype(np.float32),
+        params,
+    )
+    x = jax.random.normal(jax.random.PRNGKey(1), (1, H, W, C))
+    cond = jax.random.normal(jax.random.PRNGKey(2), (1, H, W, C))
+    t = jnp.array([0.5])
+    y_ref = p.apply(params, x, t, condition=cond)
+
+    mesh = Mesh(np.array(jax.devices()), ("data",))
+    sp = spatial_sharding(mesh, 4)
+    xs = jax.device_put(x, sp)
+    cs = jax.device_put(cond, sp)
+    y_sp = jax.jit(lambda pp, a, b: p.apply(pp, a, t, condition=b))(params, xs, cs)
+    np.testing.assert_allclose(np.asarray(y_sp), np.asarray(y_ref),
+                               rtol=2e-4, atol=2e-4)
+    assert not y_sp.sharding.is_fully_replicated
+
+
 def test_tp_train_step():
     """Full train step with params sharded over model axis + batch over data."""
     p = make()
