@@ -169,6 +169,58 @@ def swinv2_params_to_state_dict(params: Mapping[str, Any]) -> dict:
     return out
 
 
+def swin_v1_state_dict_to_params(state_dict: Mapping[str, Any], depth: int) -> dict:
+    """Reference Swin v1 (RoPE variant) state_dict -> our flax params
+    (swift_tpu.models.swin.Swin). Layout notes: conv patch embed kernels go
+    OIHW -> HWIO; RMSNorm weight -> norm/weight; bias-free modulation."""
+    sd = {}
+    for k, v in state_dict.items():
+        if hasattr(v, "detach"):
+            v = v.detach().cpu().numpy()
+        sd[k[len("model."):] if k.startswith("model.") else k] = np.asarray(v)
+
+    p: dict = {}
+    # conv patch embedding: torch (O, I, kh, kw) -> flax (kh, kw, I, O)
+    w = np.asarray(sd["patch_embed.proj.weight"], np.float32)
+    p["patch_embed"] = {
+        "kernel": np.ascontiguousarray(w.transpose(2, 3, 1, 0)),
+        "bias": _a(sd["patch_embed.proj.bias"]),
+    }
+    p["latent_l1"] = {
+        "kernel": _t(sd["latent_embed.l1.weight"]),
+        "bias": _a(sd["latent_embed.l1.bias"]),
+    }
+    p["latent_l2"] = {
+        "kernel": _t(sd["latent_embed.l2.weight"]),
+        "bias": _a(sd["latent_embed.l2.bias"]),
+    }
+    if "auxiliary_embed.weight" in sd:
+        p["auxiliary_embed"] = {
+            "kernel": _t(sd["auxiliary_embed.weight"]),
+            "bias": _a(sd["auxiliary_embed.bias"]),
+        }
+
+    def mod_norm(prefix: str) -> dict:
+        return {
+            "norm": {"weight": _a(sd[f"{prefix}.norm.weight"])},
+            "modulation": {"kernel": _t(sd[f"{prefix}.modulation.weight"])},
+        }
+
+    for i in range(depth):
+        base = f"transformer.layers.{i}"
+        p[f"block{i}"] = {
+            "attn_norm": mod_norm(f"{base}.0.norm"),
+            "to_qkv": {"kernel": _t(sd[f"{base}.0.to_qkv.weight"])},
+            "wo": {"kernel": _t(sd[f"{base}.0.wo.weight"])},
+            "ff_norm": mod_norm(f"{base}.1.norm"),
+            "w1": {"kernel": _t(sd[f"{base}.1.w1.weight"])},
+            "w2": {"kernel": _t(sd[f"{base}.1.w2.weight"])},
+        }
+    p["head_norm"] = mod_norm("head.norm")
+    p["head"] = {"kernel": _t(sd["head.head.0.weight"])}
+    return p
+
+
 def load_reference_checkpoint(
     path: str, depth: int, key: str = "ema", scan_layers: bool = True
 ) -> dict:
