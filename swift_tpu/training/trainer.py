@@ -221,9 +221,17 @@ class Trainer:
         self._step_cache: dict = {}
 
     # ------------------------------------------------------------------
-    def _loss_kwargs(self, state, batch, steps: int, delta: Optional[int]):
+    def _loss_kwargs(self, state, batch, steps: int, delta: Optional[int],
+                     teacher_params=None):
         if isinstance(self.loss_fn, SCMLoss):
-            return dict(step=state.nimg, teacher=self.teacher)
+            teacher = None
+            if self.teacher is not None:
+                # rebuild the teacher callable from params passed THROUGH
+                # the jit boundary — a closed-over Network would bake the
+                # teacher weights into the HLO as constants (see
+                # param_sampler_factory for the same rule).
+                teacher = Network(self.teacher.precond, teacher_params)
+            return dict(step=state.nimg, teacher=teacher)
         if isinstance(self.loss_fn, MSELoss):
             return dict(steps=steps)
         if isinstance(self.loss_fn, CRPSLoss):
@@ -239,7 +247,8 @@ class Trainer:
         ema_halflife_nimg = self.ema_halflife_kimg * 1000
         rampup = self.ema_rampup_ratio
 
-        def step_fn(state: TrainState, batch: dict, key: jax.Array):
+        def step_fn(state: TrainState, batch: dict, key: jax.Array,
+                    teacher_params=None):
             def compute(params):
                 return loss_fn(
                     params,
@@ -247,7 +256,8 @@ class Trainer:
                     batch["t"],
                     condition=batch["x"],
                     auxiliary=batch["delta"],
-                    **self._loss_kwargs(state, batch, steps, delta),
+                    **self._loss_kwargs(state, batch, steps, delta,
+                                        teacher_params),
                 )
 
             loss, grads = jax.value_and_grad(compute)(state.params)
@@ -401,7 +411,10 @@ class Trainer:
             rng, key = jax.random.split(rng)
             t0 = time.perf_counter()
             step_fn = self._get_step(steps, delta)
-            self.state, metrics_dev = step_fn(self.state, batch, key)
+            self.state, metrics_dev = step_fn(
+                self.state, batch, key,
+                self.teacher.params if self.teacher is not None else None,
+            )
             i += 1
             global_nimg += self.global_batch_size
             done = global_nimg >= self.total_kimg * 1000 or interrupted["flag"]
