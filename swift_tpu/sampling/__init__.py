@@ -6,4 +6,6 @@ from swift_tpu.sampling.solvers import (
     scm_solver,
     scm_solve2,
 )
-from swift_tpu.sampling.factory import sampler_factory
+from swift_tpu.sampling.factory import sampler_factory, param_sampler_factory
+from swift_tpu.sampling.rollout import forecast_rollout
+from swift_tpu.sampling.ensemble import EnsembleRollout
