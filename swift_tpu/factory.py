@@ -254,12 +254,15 @@ def build_optimizer(
     params,
     resume_kimg: int = 0,
     mesh=None,
-) -> optax.GradientTransformation:
+):
+    """Returns (optimizer, primary_lr_schedule) — the schedule is what the
+    trainer logs as train/lr per tick (reference trainer.py:463)."""
     cfg = dict(optimizer_cfg)
     target = _suffix(cfg.pop("_target_", "Adam"))
+    schedules: list = []
 
     def sched(base_lr):
-        return lr_schedule(
+        fn = lr_schedule(
             float(base_lr),
             global_batch_size,
             lr_rampup_kimg=int(trainer_cfg.get("lr_rampup_kimg", 10000)),
@@ -268,6 +271,8 @@ def build_optimizer(
             lr_cosine_anneal=bool(trainer_cfg.get("lr_cosine_anneal", True)),
             resume_kimg=resume_kimg,
         )
+        schedules.append(fn)
+        return fn
 
     if target in ("Adam", "AdamW"):
         wd = float(cfg.get("weight_decay", 0.0))
@@ -280,10 +285,10 @@ def build_optimizer(
             weight_decay=wd,
             mask=adamw_decay_mask(params) if wd else None,
         )
-        return opt
+        return opt, schedules[0]
     if target == "MuonWithAuxAdam":
         betas = cfg.get("adam_betas", (0.9, 0.95))
-        return muon_with_aux_adam(
+        opt = muon_with_aux_adam(
             muon_param_labels,
             lr=sched(cfg.get("lr", 0.02)),
             weight_decay=float(cfg.get("weight_decay", 0.01)),
@@ -293,11 +298,13 @@ def build_optimizer(
             adam_eps=float(cfg.get("adam_eps", 1e-10)),
             mesh=mesh,
         )
+        return opt, schedules[0]
     if target == "MARS":
-        return mars(
+        opt = mars(
             learning_rate=sched(cfg.get("lr", 1e-3)),
             mars_type=cfg.get("mars_type", "mars-adamw"),
             weight_decay=float(cfg.get("weight_decay", 0.0)),
             lr_1d=float(cfg.get("lr_1d", cfg.get("lr", 1e-3))),
         )
+        return opt, schedules[0]
     raise ValueError(f"unknown optimizer target: {target}")

@@ -203,7 +203,7 @@ def main(argv=None):
     params_template = jax.eval_shape(
         lambda: precond.init(jax.random.PRNGKey(0))
     )
-    optimizer = factory.build_optimizer(
+    optimizer, lr_fn = factory.build_optimizer(
         cfg["optimizer"], cfg["trainer"], global_batch, params_template,
         resume_kimg=resume_kimg, mesh=mesh,
     )
@@ -271,6 +271,7 @@ def main(argv=None):
         flop_count=flop_count,
         seed=seed,
         profile=bool(tcfg.get("profile", False)),
+        lr_fn=lr_fn,
     )
 
     if cfg.get("dry_run"):

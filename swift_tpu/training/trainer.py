@@ -162,6 +162,7 @@ class Trainer:
         flop_count: Optional[int] = None,
         seed: int = 0,
         profile: bool = False,
+        lr_fn=None,  # update-count -> lr, for tick logging (reference :463)
     ):
         self.precond = precond
         self.optimizer = optimizer
@@ -182,6 +183,7 @@ class Trainer:
         self.flop_count = flop_count
         self.seed = seed
         self.profile = profile
+        self.lr_fn = lr_fn
         self.solver_type = "edm" if isinstance(loss_fn, EDMLoss) else "dpm"
         from swift_tpu.utils.wandb_utils import History
 
@@ -457,6 +459,12 @@ class Trainer:
                     mem_gb = ms.get("peak_bytes_in_use", 0) / 2**30
             except Exception:
                 pass
+            try:
+                import psutil
+
+                cpu_mem_gb = psutil.Process(os.getpid()).memory_info().rss / 2**30
+            except Exception:
+                cpu_mem_gb = 0.0
 
             metrics = {
                 "train/tick": cur_tick,
@@ -474,7 +482,11 @@ class Trainer:
                 "train/dt/misc": dt_misc,
                 "train/dt/kimg": 1e3 * dt_tick / max(nimg_tick, 1),
                 "train/mem/device": mem_gb,
+                "train/mem/cpu": cpu_mem_gb,
             }
+            if self.lr_fn is not None:
+                count = (global_nimg - self.resume_kimg * 1000) // self.global_batch_size
+                metrics["train/lr"] = float(self.lr_fn(count))
             logger.info(
                 self.history.update(metrics, precision=4)
                 .replace("train/", "")
