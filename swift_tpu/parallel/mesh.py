@@ -29,6 +29,30 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 _MESH: Optional[Mesh] = None
 
 
+def maybe_initialize_distributed():
+    """Multi-host bootstrap: call ``jax.distributed.initialize()`` when the
+    environment indicates a TPU pod / explicit coordinator (replaces the
+    reference's ezpz.setup_torch + MPI launch, SURVEY.md §5.8). No-op on a
+    single host; idempotent."""
+    import os
+
+    indicators = (
+        "JAX_COORDINATOR_ADDRESS",
+        "COORDINATOR_ADDRESS",
+        "MEGASCALE_COORDINATOR_ADDRESS",
+    )
+    multi = any(k in os.environ for k in indicators) or (
+        os.environ.get("TPU_WORKER_HOSTNAMES", "").count(",") >= 1
+    )
+    if not multi or os.environ.get("SWIFT_NO_DIST_INIT"):
+        return False
+    try:
+        jax.distributed.initialize()
+        return True
+    except (RuntimeError, ValueError):
+        return False  # already initialized or single-process
+
+
 def make_mesh(
     axis_names: Sequence[str] = ("data",),
     axis_sizes: Optional[Sequence[int]] = None,
