@@ -276,6 +276,17 @@ def main(argv=None):
         lr_fn=lr_fn,
     )
 
+    # tensor parallelism: when the configured mesh carries a model axis,
+    # shard the parameter matrices over it (parallel/sharding.py rules).
+    if "model" in mesh.axis_names and mesh.shape["model"] > 1:
+        from swift_tpu.parallel.sharding import shard_params
+
+        log0(f"Sharding parameters over model axis ({mesh.shape['model']}-way TP)")
+        trainer.state = trainer.state._replace(
+            params=shard_params(trainer.state.params, mesh),
+            ema=shard_params(trainer.state.ema, mesh),
+        )
+
     if cfg.get("dry_run"):
         log0("Dry run requested; exiting before training.")
         return 0
