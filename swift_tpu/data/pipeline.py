@@ -164,7 +164,11 @@ class BatchLoader:
                 delta10 = float(d) * 10
                 per_step = []
                 for i in range(steps):
-                    j = int(idx + (i + 1) * delta10 // 6)
+                    # input-time forcings: step i's input state is at time
+                    # idx + i·Δ, so condition on forcings(idx + i·Δ/6h) —
+                    # matches the reference (loss.py:387) and this repo's
+                    # validate/generate indexing.
+                    j = int(idx + i * delta10 // 6)
                     j = min(j, len(self.dataset.files) - 1)
                     f = self.dataset.get_forcings(j)
                     per_step.append(self.dataset.standardize_x(f))

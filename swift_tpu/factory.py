@@ -83,7 +83,10 @@ def build_model(
     out_channels: int,
     auxiliary_dim: int = 0,
     dtype=jnp.bfloat16,
+    mesh=None,
 ):
+    """``mesh``: optional (data, model) Mesh — enables tensor-parallel
+    activation sharding constraints on models that support them (SwinV2)."""
     cfg = dict(model_cfg)
     target = _suffix(cfg.pop("_target_", "SwinV2"))
     if target == "SwinV2":
@@ -101,6 +104,7 @@ def build_model(
             logvar=bool(cfg.get("logvar", False)),
             timestep_weight=float(cfg.get("timestep_weight", 1.0)),
             dtype=dtype,
+            mesh=mesh,
         )
     if target == "Swin":
         from swift_tpu.models.swin import Swin
@@ -161,6 +165,7 @@ def build_precond(
     condition_channels: int,
     dtype=jnp.bfloat16,
     sigma_max_override: Optional[float] = None,
+    mesh=None,
 ) -> BasePrecond:
     cfg = dict(precond_cfg)
     target = _suffix(cfg.pop("_target_", "PassPrecond"))
@@ -172,6 +177,7 @@ def build_precond(
         img_channels,
         auxiliary_dim=auxiliary_dim,
         dtype=dtype,
+        mesh=mesh,
     )
     common = dict(
         model=model,

@@ -221,6 +221,88 @@ def swin_v1_state_dict_to_params(state_dict: Mapping[str, Any], depth: int) -> d
     return p
 
 
+def _nest(flat: dict) -> dict:
+    """{'a/b/c': arr} -> nested params dict."""
+    out: dict = {}
+    for key, val in flat.items():
+        node = out
+        parts = key.split("/")
+        for p in parts[:-1]:
+            node = node.setdefault(p, {})
+        node[parts[-1]] = val
+    return out
+
+
+def songunet_state_dict_to_params(state_dict: Mapping[str, Any]) -> dict:
+    """Reference SongUNet state_dict -> our flax params
+    (swift_tpu.models.songunet.SongUNet).
+
+    Layout rules (reference: src/swift/models/songunet.py:457-757):
+      * ModuleDict entries ``enc.{res}_x`` / ``dec.{res}_x`` become flat
+        module names ``enc_{res}_x`` / ``dec_{res}_x``;
+      * conv weights (O, I, kh, kw) -> HWIO kernels; linear (out, in) -> T;
+      * GroupNorm weight/bias -> the nested ``gn`` scale/bias;
+      * ``resample_filter`` buffers are constants here — skipped;
+      * ``map_noise.freqs`` (FourierEmbedding) -> ``fourier_freqs``.
+    """
+    flat: dict[str, np.ndarray] = {}
+    for k, v in state_dict.items():
+        if hasattr(v, "detach"):
+            v = v.detach().cpu().numpy()
+        k = k[len("model."):] if k.startswith("model.") else k
+        if "resample_filter" in k:
+            continue
+        parts = k.split(".")
+        if parts[0] in ("enc", "dec"):
+            parts = [f"{parts[0]}_{parts[1]}"] + parts[2:]
+        if parts[0] == "map_noise":  # FourierEmbedding freqs
+            flat["fourier_freqs"] = _a(v)
+            continue
+        leaf = parts[-1]
+        prefix = parts[:-1]
+        v = np.asarray(v)
+        is_norm = prefix and ("norm" in prefix[-1])
+        if is_norm:
+            name = {"weight": "scale", "bias": "bias"}[leaf]
+            flat["/".join(prefix + ["gn", name])] = _a(v)
+        elif leaf == "weight":
+            if v.ndim == 4:  # conv OIHW -> HWIO
+                flat["/".join(prefix + ["kernel"])] = np.ascontiguousarray(
+                    np.asarray(v, np.float32).transpose(2, 3, 1, 0)
+                )
+            else:  # linear (out, in) -> (in, out)
+                flat["/".join(prefix + ["kernel"])] = _t(v)
+        else:
+            flat["/".join(prefix + [leaf])] = _a(v)
+    return _nest(flat)
+
+
+def edm2_state_dict_to_params(state_dict: Mapping[str, Any]) -> dict:
+    """Reference EDM2 UNet state_dict -> our flax params
+    (swift_tpu.models.edm2.EDM2UNet).
+
+    MPConv stores one ``weight`` of shape (out, in) or (out, in, kh, kw)
+    (reference: src/swift/models/edm2.py:126-134); our ``mp_weight`` keeps
+    the SAME torch layout (forced weight normalization operates per out-
+    channel over the flattened trailing dims; the conv transposes to HWIO
+    at apply time). ``emb_fourier.freqs/phases`` are random-at-init buffers
+    the reference persists (:85-86) — they must be copied, not re-drawn.
+    Scalar gains (emb_gain, out_gain) copy through.
+    """
+    flat: dict[str, np.ndarray] = {}
+    for k, v in state_dict.items():
+        if hasattr(v, "detach"):
+            v = v.detach().cpu().numpy()
+        k = k[len("model."):] if k.startswith("model.") else k
+        parts = k.split(".")
+        if parts[0] in ("enc", "dec"):
+            parts = [f"{parts[0]}_{parts[1]}"] + parts[2:]
+        if parts[-1] == "weight":  # MPConv parameter, layout preserved
+            parts = parts[:-1] + ["mp_weight"]
+        flat["/".join(parts)] = _a(v)
+    return _nest(flat)
+
+
 def load_reference_checkpoint(
     path: str, depth: int, key: str = "ema", scan_layers: bool = True
 ) -> dict:

@@ -223,9 +223,12 @@ class EDM2Block(nn.Module):
             y = MPConv(self.out_channels, self.out_channels * 3, (1, 1),
                        name="attn_qkv")(x)
             ch = C // heads
-            y = y.reshape(B, H * W, heads, 3, ch)
-            y = normalize(y, axis=-1)
-            q, k, v = y[..., 0, :], y[..., 1, :], y[..., 2, :]
+            # reference channel layout (edm2.py:244-246): qkv reshaped to
+            # (B, heads, ch, 3, HW) — the 3-axis is INNERMOST within each
+            # head's channel block; pixel-norm over ch before the split.
+            y = y.reshape(B, H * W, heads, ch, 3)
+            y = normalize(y, axis=-2)
+            q, k, v = y[..., 0], y[..., 1], y[..., 2]
             w = jax.nn.softmax(
                 jnp.einsum(
                     "bnhc,bmhc->bhnm",

@@ -297,8 +297,11 @@ class UNetBlock(nn.Module):
                 name="qkv",
             )(h)
             ch = C // heads
-            qkv = qkv.reshape(B, H * W, heads, 3, ch).astype(jnp.float32)
-            q, k, v = qkv[..., 0, :], qkv[..., 1, :], qkv[..., 2, :]
+            # reference channel layout (songunet.py:398-404): qkv output
+            # reshaped (B·heads, ch, 3, HW) — q/k/v INTERLEAVE every third
+            # channel within each head's block, with the 3-axis innermost.
+            qkv = qkv.reshape(B, H * W, heads, ch, 3).astype(jnp.float32)
+            q, k, v = qkv[..., 0], qkv[..., 1], qkv[..., 2]
             w = jax.nn.softmax(
                 jnp.einsum("bnhc,bmhc->bhnm", q, k / math.sqrt(ch)), axis=-1
             )

@@ -39,6 +39,31 @@ _TRUNC02 = nn.initializers.truncated_normal(stddev=0.02)
 _ZEROS = nn.initializers.zeros_init()
 
 
+def _wsc(x, mesh, *entries):
+    """GSPMD activation hint: ``with_sharding_constraint`` when a mesh is
+    configured on the model (tensor parallelism). Without hints XLA falls
+    back to involuntary full rematerialization on the window reshapes under
+    a (data, model) mesh (round-1 MULTICHIP tail). Entries longer than the
+    rank are trimmed from the right."""
+    if mesh is None:
+        return x
+    from jax.sharding import NamedSharding, PartitionSpec
+
+    # drop entries whose dim doesn't divide the mesh axis (e.g. the B=1
+    # forward inside precond.init, or odd tails) — replicate those dims.
+    spec = tuple(
+        e
+        if e is not None
+        and e in mesh.axis_names
+        and x.shape[i] % mesh.shape[e] == 0
+        else None
+        for i, e in enumerate(entries[: x.ndim])
+    )
+    if all(e is None for e in spec):
+        return x
+    return jax.lax.with_sharding_constraint(x, NamedSharding(mesh, PartitionSpec(*spec)))
+
+
 def _as_2tuple(v) -> tuple[int, int]:
     if isinstance(v, int):
         return (v, v)
@@ -83,6 +108,9 @@ class FeedForward(nn.Module):
     dim: int
     hidden_dim: int
     dtype: Dtype = jnp.bfloat16
+    mesh: Any = None
+    data_axis: Optional[str] = None
+    model_axis: Optional[str] = None
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, t: jnp.ndarray) -> jnp.ndarray:
@@ -93,6 +121,9 @@ class FeedForward(nn.Module):
             dtype=self.dtype,
             name="w1",
         )(x)
+        # column-parallel w1: hidden features live on `model`; gate/up are
+        # contiguous halves so the split keeps the same sharding.
+        gate_up = _wsc(gate_up, self.mesh, self.data_axis, None, self.model_axis)
         gate, up = jnp.split(gate_up, 2, axis=-1)
         x = nn.Dense(
             self.dim,
@@ -101,6 +132,8 @@ class FeedForward(nn.Module):
             dtype=self.dtype,
             name="w2",
         )(jax.nn.silu(gate) * up)
+        # row-parallel w2: XLA inserts the psum; output replicated on model.
+        x = _wsc(x, self.mesh, self.data_axis, None, None)
         return ModulatedNorm(self.dim, dtype=self.dtype, name="norm")(x, t)
 
 
@@ -120,6 +153,9 @@ class WindowAttention(nn.Module):
     head_dim: int
     dtype: Dtype = jnp.bfloat16
     use_pallas: Optional[bool] = None  # None = auto (TPU only)
+    mesh: Any = None
+    data_axis: Optional[str] = None
+    model_axis: Optional[str] = None
 
     @nn.compact
     def __call__(
@@ -138,6 +174,10 @@ class WindowAttention(nn.Module):
             dtype=self.dtype,
             name="to_qkv",
         )(x)
+        # column-parallel qkv: heads are the outer factor of the flattened
+        # (heads · 3·head_dim) feature axis, so sharding it over `model`
+        # IS the per-head split.
+        qkv = _wsc(qkv, self.mesh, self.data_axis, None, None, self.model_axis)
         B, nW, n, _ = qkv.shape
         qkv = qkv.reshape(B, nW, n, self.heads, 3 * self.head_dim)
         q, k, v = jnp.split(qkv, 3, axis=-1)
@@ -162,17 +202,27 @@ class WindowAttention(nn.Module):
             use_pallas = jax.default_backend() == "tpu"
         if use_pallas:
             # jvp=True: fused primal + forward-mode tangent rule (the sCM
-            # tangent path; see pallas_attention._sdpa_jvp_capable).
-            attn_fn = lambda *a: fused_window_attention(*a, jvp=jvp)
+            # tangent path; see pallas_attention._sdpa_jvp_capable). The
+            # mesh shard_maps the kernel over (data, model) so the fused
+            # path composes with TP (heads are a grid axis).
+            attn_fn = lambda *a: fused_window_attention(
+                *a, jvp=jvp, mesh=self.mesh,
+                data_axis=self.data_axis, model_axis=self.model_axis,
+            )
         else:
             attn_fn = reference_window_attention
-        out = attn_fn(to_heads(q), to_heads(k), to_heads(v), logit_scale)
+        qh, kh, vh = (
+            _wsc(to_heads(a), self.mesh, self.data_axis, self.model_axis)
+            for a in (q, k, v)
+        )
+        out = attn_fn(qh, kh, vh, logit_scale)
         out = (
             out.reshape(B, nW, self.heads, n, self.head_dim)
             .transpose(0, 1, 3, 2, 4)
             .reshape(B, nW, n, inner)
             .astype(self.dtype)
         )
+        out = _wsc(out, self.mesh, self.data_axis, None, None, self.model_axis)
 
         out = nn.Dense(
             self.dim,
@@ -181,6 +231,8 @@ class WindowAttention(nn.Module):
             dtype=self.dtype,
             name="wo",
         )(out)
+        # row-parallel wo: output replicated over model after XLA's psum.
+        out = _wsc(out, self.mesh, self.data_axis, None, None, None)
         return ModulatedNorm(self.dim, dtype=self.dtype, name="norm")(out, t)
 
 
@@ -196,12 +248,17 @@ class SwinBlock(nn.Module):
     shift: tuple[int, int]  # (0, 0) on even layers
     dtype: Dtype = jnp.bfloat16
     use_pallas: Optional[bool] = None
+    mesh: Any = None
+    data_axis: Optional[str] = None
+    model_axis: Optional[str] = None
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, t: jnp.ndarray, jvp: bool = False):
         gh, gw = self.grid_size
         B, N, D = x.shape
         xp = x
+        tp = dict(mesh=self.mesh, data_axis=self.data_axis,
+                  model_axis=self.model_axis)
 
         x = x.reshape(B, gh, gw, D)
         sh, sw = self.shift
@@ -210,15 +267,17 @@ class SwinBlock(nn.Module):
         x = window_partition(x, self.window_size)  # B, nW, n, D
         x = WindowAttention(
             self.dim, self.heads, self.head_dim, dtype=self.dtype,
-            use_pallas=self.use_pallas, name="attn",
+            use_pallas=self.use_pallas, name="attn", **tp,
         )(x, t, jvp)
         x = window_reverse(x, self.window_size, self.grid_size)
         if sh or sw:
             x = cyclic_shift(x, (sh, sw))
         x = x.reshape(B, N, D)
 
-        x = xp + x
-        x = x + FeedForward(self.dim, self.mlp_dim, dtype=self.dtype, name="ff")(x, t)
+        x = _wsc(xp + x, self.mesh, self.data_axis, None, None)
+        x = x + FeedForward(
+            self.dim, self.mlp_dim, dtype=self.dtype, name="ff", **tp
+        )(x, t)
         return x
 
 
@@ -241,6 +300,9 @@ class SwinBlockPair(nn.Module):
     jvp: bool
     dtype: Dtype = jnp.bfloat16
     use_pallas: Optional[bool] = None
+    mesh: Any = None
+    data_axis: Optional[str] = None
+    model_axis: Optional[str] = None
 
     @nn.compact
     def __call__(self, x, cond):
@@ -248,7 +310,8 @@ class SwinBlockPair(nn.Module):
             dim=self.dim, heads=self.heads, head_dim=self.head_dim,
             mlp_dim=self.mlp_dim, window_size=self.window_size,
             grid_size=self.grid_size, dtype=self.dtype,
-            use_pallas=self.use_pallas,
+            use_pallas=self.use_pallas, mesh=self.mesh,
+            data_axis=self.data_axis, model_axis=self.model_axis,
         )
         x = SwinBlock(shift=(0, 0), name="even", **common)(x, cond, self.jvp)
         x = SwinBlock(shift=self.shift, name="odd", **common)(x, cond, self.jvp)
@@ -285,6 +348,14 @@ class SwinV2(nn.Module):
     dtype: Dtype = jnp.bfloat16
     use_pallas: Optional[bool] = None  # None = auto (pallas on TPU only)
     scan_layers: bool = True  # nn.scan over block pairs (even depth only)
+    # Tensor parallelism (set all three to enable): activation sharding
+    # constraints over a (data_axis, model_axis) mesh matching the param
+    # shardings in swift_tpu.parallel.sharding — without these hints XLA's
+    # SPMD partitioner falls back to full rematerialization on the window
+    # reshapes. ``mesh`` is static metadata (hashable), not a traced value.
+    mesh: Any = None
+    data_axis: Optional[str] = "data"
+    model_axis: Optional[str] = "model"
 
     @nn.compact
     def __call__(
@@ -312,6 +383,7 @@ class SwinV2(nn.Module):
         h = nn.Dense(
             self.dim, kernel_init=_TRUNC02, dtype=self.dtype, name="patch_embed"
         )(xp)
+        h = _wsc(h, self.mesh, self.data_axis, None, None)
 
         pos = self.param(
             "pos_embed",
@@ -361,6 +433,8 @@ class SwinV2(nn.Module):
                 mlp_dim=mlp_dim, window_size=(wh, ww), grid_size=(gh, gw),
                 shift=(sh, sw), jvp=jvp, dtype=self.dtype,
                 use_pallas=self.use_pallas, name="pairs",
+                mesh=self.mesh, data_axis=self.data_axis,
+                model_axis=self.model_axis,
             )(h, cond_c)
         else:
             for i in range(self.depth):
@@ -376,6 +450,9 @@ class SwinV2(nn.Module):
                     dtype=self.dtype,
                     use_pallas=self.use_pallas,
                     name=f"block{i}",
+                    mesh=self.mesh,
+                    data_axis=self.data_axis,
+                    model_axis=self.model_axis,
                 )(h, cond_c, jvp)
 
         # --- output head: (B, N, dim) -> (B, H, W, out_channels), zero-init.

@@ -164,15 +164,51 @@ def _sdpa_jvp_rule(primals, tangents):
     return o, do
 
 
-def fused_window_attention(q, k, v, scale, jvp: bool = False):
+def fused_window_attention(
+    q, k, v, scale, jvp: bool = False,
+    mesh=None, data_axis=None, model_axis=None,
+):
     """Cosine attention, pallas-fused core. q/k/v: (BW, h, n, d);
     scale: (h,) — the already-exp'ed, clamped per-head logit scale.
     ``jvp=True`` selects the forward-mode-differentiable variant (fused
-    primal, jnp tangent rule)."""
+    primal, jnp tangent rule).
+
+    With ``mesh``, the kernel is shard_map'd so it composes with tensor /
+    data parallelism: the (batch·window) grid axis shards over ``data_axis``
+    and the head grid axis over ``model_axis`` (attention is independent per
+    (window, head) program — no cross-shard communication). Axes that don't
+    divide are left unsharded.
+    """
     qn = (_normalize(q.astype(jnp.float32))
           * scale.astype(jnp.float32)[None, :, None, None]).astype(v.dtype)
     kn = _normalize(k.astype(jnp.float32)).astype(v.dtype)
-    return _sdpa_jvp_capable(qn, kn, v) if jvp else _sdpa(qn, kn, v)
+    fn = _sdpa_jvp_capable if jvp else _sdpa
+
+    if mesh is not None:
+        BW, h = q.shape[0], q.shape[1]
+
+        def usable(axis, dim):
+            return (
+                axis is not None
+                and axis in mesh.axis_names
+                and mesh.shape[axis] > 1
+                and dim % mesh.shape[axis] == 0
+            )
+
+        b_ax = data_axis if usable(data_axis, BW) else None
+        h_ax = model_axis if usable(model_axis, h) else None
+        if b_ax or h_ax:
+            from jax import shard_map
+            from jax.sharding import PartitionSpec as P
+
+            spec = P(b_ax, h_ax, None, None)
+            # check_vma=False: pallas_call's out_shape carries no varying-
+            # mesh-axes info; the kernel is trivially per-shard independent.
+            fn = shard_map(
+                fn, mesh=mesh, in_specs=(spec, spec, spec), out_specs=spec,
+                check_vma=False,
+            )
+    return fn(qn, kn, v)
 
 
 def reference_window_attention(q, k, v, scale):

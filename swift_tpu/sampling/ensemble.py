@@ -157,7 +157,19 @@ class EnsembleRollout:
         # per-member torch Generators (generate.py:83).
         root_key = jax.random.PRNGKey(self.base_seed * 7919 + ic_start)
 
+        # Double buffering: jitted calls dispatch asynchronously, so segment
+        # N's host conversion (np.asarray blocks until N completes) + store
+        # writes run WHILE segment N+1 computes on device. The reference
+        # serializes per-step device->host syncs and writes with compute
+        # (generate.py:97-136).
+        def flush(pending):
+            traj_dev, lead_start, S = pending
+            traj_np = np.asarray(traj_dev).reshape(M, B, S, *traj_dev.shape[2:])
+            for m in range(M):
+                write_fn(ic_start, m, lead_start, traj_np[m])
+
         done = 0
+        pending = None
         while done < self.steps:
             S = min(self.segment, self.steps - done)
             seg_keys = jnp.stack(
@@ -170,7 +182,9 @@ class EnsembleRollout:
             # a trailing partial segment (S < segment) costs one extra jit
             # specialization — bounded at 2 total.
             state, traj = self._seg(self.params, state, forc_seg, seg_keys)
-            traj_np = np.asarray(traj).reshape(M, B, S, *traj.shape[2:])
-            for m in range(M):
-                write_fn(ic_start, m, done + 1, traj_np[m])
+            prev, pending = pending, (traj, done + 1, S)
+            if prev is not None:
+                flush(prev)
             done += S
+        if pending is not None:
+            flush(pending)

@@ -186,12 +186,16 @@ def main(argv=None):
     )
 
     log0("Constructing network...")
+    tp_on = "model" in mesh.axis_names and mesh.shape["model"] > 1
     precond = factory.build_precond(
         cfg["precond"],
         cfg["model"],
         dataset.img_resolution,
         dataset.n_target_channels,
         dataset.n_condition_channels,
+        # under TP the model carries activation sharding constraints so XLA
+        # partitions the window reshapes instead of rematerializing.
+        mesh=mesh if tp_on else None,
     )
 
     log0("Constructing loss function...")

@@ -82,12 +82,21 @@ def _sharded_orthogonalize(u: jnp.ndarray, ns_steps: int, mesh, axis: str):
     mesh-native analogue of the reference's round-robin rank sharding +
     all_gather (muon.py:88-110): each device orthogonalizes its slice of
     the layer stack; the out_spec all_gathers the results.
+
+    The reshards are staged EXPLICITLY (replicate -> slice into the
+    shard_map -> replicate): a momentum tensor arriving with a TP sharding
+    (feature dims over ``model``) cannot transition to a stack-dim sharding
+    directly — XLA's SPMD partitioner falls back to involuntary full
+    rematerialization. replicate->slice and gather->replicate are standard
+    collectives; NS must see full (m, n) matrices either way.
     """
-    from jax.experimental.shard_map import shard_map
-    from jax.sharding import PartitionSpec as P
+    from jax import shard_map
+    from jax.sharding import NamedSharding, PartitionSpec as P
 
     n_dev = mesh.shape[axis]
     P0 = u.shape[0]
+    rep = NamedSharding(mesh, P())
+    u = jax.lax.with_sharding_constraint(u, rep)
     pad = (-P0) % n_dev
     if pad:
         u = jnp.concatenate([u, jnp.zeros((pad, *u.shape[1:]), u.dtype)], 0)
@@ -98,7 +107,7 @@ def _sharded_orthogonalize(u: jnp.ndarray, ns_steps: int, mesh, axis: str):
         in_specs=P(axis),
         out_specs=P(axis),
     )
-    out = fn(u)
+    out = jax.lax.with_sharding_constraint(fn(u), rep)
     return out[:P0] if pad else out
 
 

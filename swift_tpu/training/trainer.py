@@ -83,6 +83,27 @@ def lr_schedule(
     return schedule
 
 
+def reset_schedule_counts(opt_state):
+    """Zero the optax ``scale_by_schedule`` counts after a FULL-state restore.
+
+    The LR schedule already offsets by ``resume_kimg`` (factory.
+    build_optimizer), so a restored schedule count would double-count
+    training progress — warmup/anneal would jump ahead by ~2x (the reference
+    recomputes LR from global_nimg each step, trainer.py:202-217). Adam/Muon
+    moment counts are NOT touched: bias correction must continue from the
+    restored step."""
+    is_sched = lambda n: isinstance(n, optax.ScaleByScheduleState)
+    return jax.tree_util.tree_map(
+        lambda n: (
+            optax.ScaleByScheduleState(count=jnp.zeros_like(n.count))
+            if is_sched(n)
+            else n
+        ),
+        opt_state,
+        is_leaf=is_sched,
+    )
+
+
 def adamw_decay_mask(params) -> Any:
     """True (decay) except pos_embed and norm scales/biases outside
     modulation (reference train.py:274-285)."""
@@ -101,7 +122,16 @@ def adamw_decay_mask(params) -> Any:
 def muon_param_labels(params) -> Any:
     """"muon" for >=2-D params inside the transformer blocks, "adam"
     otherwise (reference train.py:296-311 keys on
-    ``ndim >= 2 and "transformer" in name``; our blocks are named block{i})."""
+    ``ndim >= 2 and "transformer" in name``; our blocks are named block{i}).
+
+    Deliberate divergence: the per-head attention logit ``scale`` goes to
+    Adam here. The reference stores it as (1, heads, 1, 1) so its ndim>=2
+    rule orthogonalizes it (Newton-Schulz on a 1×heads matrix merely
+    normalizes the direction); ours is (heads,) unrolled / (pairs, heads)
+    stacked, where Muon's matrix semantics don't apply — and a stacked NS
+    would couple heads across layers. Adam on a per-head gain is the sane
+    assignment; documented here because it changes that one parameter's
+    training dynamics vs the reference."""
 
     def label(path, leaf):
         joined = "/".join(str(getattr(p, "key", p)) for p in path)
@@ -201,6 +231,9 @@ class Trainer:
                 params, ema, opt_state = (
                     restored["params"], restored["ema"], restored["opt_state"],
                 )
+                # the lr schedule offsets by resume_kimg; the restored
+                # schedule count would double-count progress (ADVICE r1).
+                opt_state = reset_schedule_counts(opt_state)
             except (KeyError, ValueError) as e:
                 # graceful degradation: keep weights, fresh optimizer
                 logger.warning(f"Could not load full state ({e}); loading weights only.")
@@ -355,7 +388,8 @@ class Trainer:
         it = iter(train_batches)
         steps = None
         metrics_dev = None
-        dt_data = dt_step = 0.0
+        dt_step = 0.0
+        dt_data_tick = 0.0  # per-tick accumulated data wait (reference :445-459)
 
         if self.profile:
             jax.profiler.start_trace(os.path.join(self.run_dir, "profile"))
@@ -404,7 +438,7 @@ class Trainer:
 
             t0 = time.perf_counter()
             batch = next(it)
-            dt_data = time.perf_counter() - t0
+            dt_data_tick += time.perf_counter() - t0
 
             delta = None
             if isinstance(self.loss_fn, CRPSLoss):
@@ -477,7 +511,7 @@ class Trainer:
                 "train/dt/dt": tick_end_time - start_time,
                 "train/dt/tick": dt_tick,
                 "train/dt/iter": tick_end_time - t0_iter,
-                "train/dt/data": dt_data,
+                "train/dt/data": dt_data_tick,
                 "train/dt/step": dt_step,
                 "train/dt/misc": dt_misc,
                 "train/dt/kimg": 1e3 * dt_tick / max(nimg_tick, 1),
@@ -500,15 +534,18 @@ class Trainer:
                 stats_jsonl.write(json.dumps(stats.default_collector.as_dict()) + "\n")
                 stats_jsonl.flush()
 
-            if (
+            # a signal-requested stop checkpoints even when periodic
+            # checkpointing is disabled — the handler promised one.
+            want_ckpt = interrupted["flag"] or (
                 self.checkpoint_ticks is not None
                 and (done or (cur_tick % self.checkpoint_ticks == 0 and cur_tick != 0))
-                and is_main_process()
-            ):
+            )
+            if want_ckpt and is_main_process():
                 self.save_checkpoint(global_nimg)
 
             cur_tick += 1
             tick_start_nimg = global_nimg
+            dt_data_tick = 0.0
             tick_start_time = time.perf_counter()
             dt_misc = tick_start_time - tick_end_time
             if done:

@@ -1,0 +1,75 @@
+"""Import the ACTUAL reference implementation from /root/reference/src.
+
+The reference depends on omegaconf / hydra / ezpz which are not installed
+here; none of them affect the numerics under test (omegaconf only provides
+type annotations, hydra only ``instantiate``-by-_target_, ezpz only a
+logger), so we install minimal stand-ins into sys.modules before importing.
+
+Used by the golden parity tests (tests/test_reference_parity.py and the
+backbone converter tests): the correctness north star is forward/forecast
+agreement with the reference's own code, not with a transcription.
+"""
+
+from __future__ import annotations
+
+import importlib
+import logging
+import sys
+import types
+
+REFERENCE_SRC = "/root/reference/src"
+
+
+def _hydra_instantiate(cfg, **kwargs):
+    cfg = dict(cfg)
+    target = cfg.pop("_target_")
+    kwargs.pop("_convert_", None)
+    cfg.update({k: v for k, v in kwargs.items() if not k.startswith("_")})
+    mod, name = target.rsplit(".", 1)
+    return getattr(importlib.import_module(mod), name)(**cfg)
+
+
+def install_reference_stubs() -> None:
+    if "omegaconf" not in sys.modules:
+        om = types.ModuleType("omegaconf")
+
+        class ListConfig(list):
+            pass
+
+        class DictConfig(dict):
+            pass
+
+        om.ListConfig = ListConfig
+        om.DictConfig = DictConfig
+        sys.modules["omegaconf"] = om
+
+    if "ezpz" not in sys.modules:
+        ez = types.ModuleType("ezpz")
+        ez.get_logger = logging.getLogger
+        ez.get_rank = lambda: 0
+        ez.get_world_size = lambda: 1
+        ez.get_local_rank = lambda: 0
+        ez.get_torch_device = lambda: "cpu"
+        ez.get_torch_device_type = lambda: "cpu"
+        sys.modules["ezpz"] = ez
+
+    if "hydra" not in sys.modules:
+        hydra = types.ModuleType("hydra")
+        utils = types.ModuleType("hydra.utils")
+        utils.instantiate = _hydra_instantiate
+        hydra.utils = utils
+        sys.modules["hydra"] = hydra
+        sys.modules["hydra.utils"] = utils
+
+
+def import_reference():
+    """Returns the reference ``swift`` package (models importable)."""
+    install_reference_stubs()
+    if REFERENCE_SRC not in sys.path:
+        sys.path.insert(0, REFERENCE_SRC)
+    import swift  # noqa: F401
+    import swift.generating.diffusion  # noqa: F401
+    import swift.models.precond  # noqa: F401
+    import swift.models.swinv2  # noqa: F401
+
+    return swift

@@ -141,3 +141,50 @@ def test_swinv2_pallas_flag_consistency():
     np.testing.assert_allclose(
         np.asarray(y_pal), np.asarray(y_ref), rtol=2e-2, atol=2e-2
     )
+
+
+def test_shard_mapped_kernel_matches_unsharded():
+    """TP composition: the kernel shard_map'd over a (data, model) mesh —
+    batch·window over data, heads over model — matches the plain call."""
+    from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+    q, k, v, scale = _inputs(3)
+    mesh = Mesh(np.array(jax.devices()).reshape(4, 2), ("data", "model"))
+    out_plain = pa.fused_window_attention(q, k, v, scale)
+
+    qs = jax.device_put(q, NamedSharding(mesh, P("data", "model")))
+    ks = jax.device_put(k, NamedSharding(mesh, P("data", "model")))
+    vs = jax.device_put(v, NamedSharding(mesh, P("data", "model")))
+    out_tp = jax.jit(
+        lambda a, b, c: pa.fused_window_attention(
+            a, b, c, scale, mesh=mesh, data_axis="data", model_axis="model"
+        )
+    )(qs, ks, vs)
+    np.testing.assert_allclose(
+        np.asarray(out_tp), np.asarray(out_plain), rtol=2e-2, atol=2e-2
+    )
+
+
+def test_shard_mapped_kernel_jvp_matches():
+    """Forward-mode AD through the shard_map'd jvp-capable kernel (the sCM
+    tangent under TP)."""
+    from jax.sharding import Mesh, PartitionSpec as P  # noqa: F401
+
+    q, k, v, scale = _inputs(4)
+    mesh = Mesh(np.array(jax.devices()).reshape(4, 2), ("data", "model"))
+    tq, tk, tv = (jax.random.normal(jax.random.PRNGKey(20 + i), q.shape)
+                  for i in range(3))
+
+    def f_tp(q, k, v):
+        return pa.fused_window_attention(
+            q, k, v, scale, jvp=True, mesh=mesh,
+            data_axis="data", model_axis="model",
+        )
+
+    def f_ref(q, k, v):
+        return pa.reference_window_attention(q, k, v, scale)
+
+    op, dop = jax.jvp(f_tp, (q, k, v), (tq, tk, tv))
+    orf, dorf = jax.jvp(f_ref, (q, k, v), (tq, tk, tv))
+    np.testing.assert_allclose(np.asarray(op), np.asarray(orf), rtol=2e-2, atol=2e-2)
+    np.testing.assert_allclose(np.asarray(dop), np.asarray(dorf), rtol=2e-2, atol=2e-2)

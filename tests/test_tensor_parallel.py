@@ -133,3 +133,91 @@ def test_tp_train_step():
     # TP params keep their sharding through the update
     qkv = new_state.params["pairs"]["even"]["attn"]["to_qkv"]["kernel"]
     assert not qkv.sharding.is_fully_replicated
+
+
+def make_tp(mesh, dim=64, heads=4):
+    """Same architecture as ``make()`` but with activation sharding
+    constraints enabled (SwinV2.mesh/data_axis/model_axis)."""
+    model = SwinV2(
+        img_resolution=(H, W), in_channels=2 * C, out_channels=C,
+        window_size=(2, 2), shift_size=(1, 1), patch_size=(2, 2),
+        depth=2, dim=dim, heads=heads, logvar=True, dtype=jnp.float32,
+        use_pallas=False, mesh=mesh, data_axis="data", model_axis="model",
+    )
+    return PassPrecond(model=model, img_resolution=(H, W), img_channels=C,
+                       condition_channels=C, sigma_data=1.0)
+
+
+def test_tp_constrained_forward_matches_replicated():
+    """The mesh-annotated model (with_sharding_constraint on activations)
+    reproduces the unconstrained replicated forward exactly."""
+    mesh = Mesh(np.array(jax.devices()).reshape(4, 2), ("data", "model"))
+    p = make()
+    p_tp = make_tp(mesh)
+    params = p.init(jax.random.PRNGKey(0))
+    params = jax.tree_util.tree_map(
+        lambda a: a + 0.01 * np.random.default_rng(3)
+        .standard_normal(a.shape).astype(np.float32),
+        params,
+    )
+    x = jax.random.normal(jax.random.PRNGKey(1), (4, H, W, C))
+    cond = jax.random.normal(jax.random.PRNGKey(2), (4, H, W, C))
+    t = jnp.array([0.5, 1.0, 0.2, 0.9])
+    y_ref = p.apply(params, x, t, condition=cond)
+
+    sharded = shard_params(params, mesh)
+    xb = jax.device_put(x, NamedSharding(mesh, P("data")))
+    y_tp = jax.jit(lambda pp, xx: p_tp.apply(pp, xx, t, condition=cond))(
+        sharded, xb
+    )
+    np.testing.assert_allclose(np.asarray(y_tp), np.asarray(y_ref),
+                               rtol=2e-4, atol=2e-4)
+
+
+def test_tp_train_step_matches_replicated():
+    """One sCM train step under (data, model) TP == the replicated step
+    (same batch, same key) — VERDICT r1 item #4's done-criterion."""
+    from swift_tpu.training.loss import SCMLoss
+
+    mesh = Mesh(np.array(jax.devices()).reshape(4, 2), ("data", "model"))
+    variables = ("2m_temperature", "geopotential_500",
+                 "temperature_850", "specific_humidity_700")
+    noise = {"dist": "loguniform", "sigma_min": 0.02, "sigma_max": 200.0}
+
+    def run(p, sharded):
+        loss = SCMLoss(precond=p, lat_dim=H, variables=variables,
+                       noise=noise, tangent_warmup_kimg=1)
+        tr = Trainer(p, optax.adamw(1e-3), loss, global_batch_size=4,
+                     total_kimg=1, run_dir="/tmp/tp_eq_test",
+                     checkpoint_ticks=None, val_ticks=None, seed=0)
+        state = tr.state
+        batch = {
+            "x": np.asarray(jax.random.normal(jax.random.PRNGKey(1), (4, H, W, C))),
+            "t": np.asarray(jax.random.normal(jax.random.PRNGKey(2), (4, H, W, C))),
+            "idx": np.arange(4, dtype=np.int32),
+            "delta": np.full((4, 1), 0.6, np.float32),
+        }
+        if sharded:
+            state = type(state)(
+                shard_params(state.params, mesh),
+                shard_params(state.ema, mesh),
+                jax.device_put(state.opt_state, NamedSharding(mesh, P())),
+                state.nimg,
+            )
+            batch = {
+                k: jax.device_put(
+                    v, NamedSharding(mesh, P("data", *([None] * (v.ndim - 1))))
+                )
+                for k, v in batch.items()
+            }
+        step = tr._get_step(1, None)
+        new_state, m = step(state, batch, jax.random.PRNGKey(3))
+        return new_state, float(m["loss"])
+
+    state_rep, loss_rep = run(make(), sharded=False)
+    state_tp, loss_tp = run(make_tp(mesh), sharded=True)
+    np.testing.assert_allclose(loss_tp, loss_rep, rtol=1e-5)
+    for a, b in zip(jax.tree_util.tree_leaves(state_rep.params),
+                    jax.tree_util.tree_leaves(state_tp.params)):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                   rtol=2e-4, atol=2e-4)
