@@ -153,8 +153,9 @@ def main(args):
         from swift_tpu.models.convert import load_reference_checkpoint
 
         model_params = load_reference_checkpoint(
-            ckpt, depth=int(cfg["model"]["depth"]),
+            ckpt, depth=int(cfg["model"].get("depth", 0)),
             scan_layers="pairs" in params,
+            model_target=cfg["model"].get("_target_", "SwinV2"),
         )
         ema_params = model_params
     else:

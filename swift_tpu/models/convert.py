@@ -304,11 +304,29 @@ def edm2_state_dict_to_params(state_dict: Mapping[str, Any]) -> dict:
 
 
 def load_reference_checkpoint(
-    path: str, depth: int, key: str = "ema", scan_layers: bool = True
+    path: str,
+    depth: int = 0,
+    key: str = "ema",
+    scan_layers: bool = True,
+    model_target: str = "SwinV2",
 ) -> dict:
-    """Load a reference ``.pt`` checkpoint and return our params pytree."""
+    """Load a reference ``.pt`` checkpoint and return our params pytree.
+
+    ``model_target``: the config's model ``_target_`` (suffix is enough) —
+    routes to the right state_dict converter (SwinV2 / Swin / SongUNet /
+    EDM2's UNet), so every reference backbone's checkpoints interchange.
+    """
     import torch
 
     state = torch.load(path, map_location="cpu", weights_only=True)
     sd = state[key] if key in state else state
-    return swinv2_state_dict_to_params(sd, depth, scan_layers=scan_layers)
+    target = model_target.rsplit(".", 1)[-1]
+    if target == "SwinV2":
+        return swinv2_state_dict_to_params(sd, depth, scan_layers=scan_layers)
+    if target == "Swin":
+        return swin_v1_state_dict_to_params(sd, depth)
+    if target == "SongUNet":
+        return songunet_state_dict_to_params(sd)
+    if target == "UNet":
+        return edm2_state_dict_to_params(sd)
+    raise ValueError(f"no .pt converter for model target {model_target!r}")

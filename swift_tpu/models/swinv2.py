@@ -102,8 +102,24 @@ class ModulatedNorm(nn.Module):
         return x * (1 + scale) + shift
 
 
+class _KernelParam(nn.Module):
+    """A bare Dense kernel parameter at the path ``<name>/kernel`` —
+    layout-identical to bias-free ``nn.Dense`` params, but returned as an
+    array so fused kernels can consume it directly."""
+
+    shape: tuple[int, int]
+
+    @nn.compact
+    def __call__(self) -> jnp.ndarray:
+        return self.param("kernel", _TRUNC02, self.shape)
+
+
 class FeedForward(nn.Module):
-    """SwiGLU feed-forward, post-norm (reference swinv2.py:89-102)."""
+    """SwiGLU feed-forward, post-norm (reference swinv2.py:89-102).
+
+    On TPU (and jvp=False, no TP mesh) the gate/up/down matmul chain runs
+    as one fused Pallas kernel (swift_tpu.ops.pallas_ffn) — the
+    (tokens, 2·hidden) intermediate never reaches HBM."""
 
     dim: int
     hidden_dim: int
@@ -111,29 +127,40 @@ class FeedForward(nn.Module):
     mesh: Any = None
     data_axis: Optional[str] = None
     model_axis: Optional[str] = None
+    use_pallas: Optional[bool] = None
 
     @nn.compact
-    def __call__(self, x: jnp.ndarray, t: jnp.ndarray) -> jnp.ndarray:
-        gate_up = nn.Dense(
-            2 * self.hidden_dim,
-            use_bias=False,
-            kernel_init=_TRUNC02,
-            dtype=self.dtype,
-            name="w1",
-        )(x)
-        # column-parallel w1: hidden features live on `model`; gate/up are
-        # contiguous halves so the split keeps the same sharding.
-        gate_up = _wsc(gate_up, self.mesh, self.data_axis, None, self.model_axis)
-        gate, up = jnp.split(gate_up, 2, axis=-1)
-        x = nn.Dense(
-            self.dim,
-            use_bias=False,
-            kernel_init=_TRUNC02,
-            dtype=self.dtype,
-            name="w2",
-        )(jax.nn.silu(gate) * up)
-        # row-parallel w2: XLA inserts the psum; output replicated on model.
-        x = _wsc(x, self.mesh, self.data_axis, None, None)
+    def __call__(
+        self, x: jnp.ndarray, t: jnp.ndarray, jvp: bool = False
+    ) -> jnp.ndarray:
+        use_pallas = self.use_pallas
+        if use_pallas is None:
+            use_pallas = jax.default_backend() == "tpu"
+        # kernels declared under the same param paths nn.Dense would use
+        # (w1/kernel, w2/kernel) so checkpoints and sharding rules are
+        # unchanged; having them in hand lets the fused kernel consume them.
+        k1 = _KernelParam((x.shape[-1], 2 * self.hidden_dim), name="w1")()
+        k2 = _KernelParam((self.hidden_dim, self.dim), name="w2")()
+
+        fused = use_pallas and not jvp and self.mesh is None
+        if fused:
+            from swift_tpu.ops.pallas_ffn import fused_swiglu_ffn
+
+            try:
+                x = fused_swiglu_ffn(x.astype(self.dtype), k1, k2)
+            except ValueError:  # token count doesn't tile -> jnp path
+                fused = False
+        if not fused:
+            gate_up = jnp.dot(x.astype(self.dtype), k1.astype(self.dtype))
+            # column-parallel w1: hidden features live on `model`; gate/up
+            # are contiguous halves so the split keeps the same sharding.
+            gate_up = _wsc(
+                gate_up, self.mesh, self.data_axis, None, self.model_axis
+            )
+            gate, up = jnp.split(gate_up, 2, axis=-1)
+            x = jnp.dot(jax.nn.silu(gate) * up, k2.astype(self.dtype))
+            # row-parallel w2: XLA inserts the psum; output replicated.
+            x = _wsc(x, self.mesh, self.data_axis, None, None)
         return ModulatedNorm(self.dim, dtype=self.dtype, name="norm")(x, t)
 
 
@@ -276,8 +303,9 @@ class SwinBlock(nn.Module):
 
         x = _wsc(xp + x, self.mesh, self.data_axis, None, None)
         x = x + FeedForward(
-            self.dim, self.mlp_dim, dtype=self.dtype, name="ff", **tp
-        )(x, t)
+            self.dim, self.mlp_dim, dtype=self.dtype, name="ff",
+            use_pallas=self.use_pallas, **tp,
+        )(x, t, jvp)
         return x
 
 

@@ -73,6 +73,33 @@ def shard_params(params: Any, mesh: Mesh, axis: str = "model"):
     return jax.tree_util.tree_map(jax.device_put, params, shardings)
 
 
+def pad_lat_to_grid(x, patch: int, window: int, lat_axis: int = 1):
+    """Pad the latitude axis up to a multiple of ``patch·window`` (edge
+    replication toward the pole) so a 0.25° WB2 grid (721 lat rows) windows
+    cleanly: 721 -> 736 for patch 2 × window 16. Returns (padded, orig_len);
+    crop model outputs back with ``crop_lat(y, orig_len, lat_axis)``.
+
+    This is the non-divisible-latitude strategy for the spatial-sharding
+    (CP-analogue) inference path (SURVEY.md §5.7): windows stay aligned to
+    shards, and the pole padding only sees edge-replicated rows.
+    """
+    m = patch * window
+    H = x.shape[lat_axis]
+    pad = (-H) % m
+    if pad == 0:
+        return x, H
+    widths = [(0, 0)] * x.ndim
+    widths[lat_axis] = (0, pad)
+    return np.pad(np.asarray(x), widths, mode="edge"), H
+
+
+def crop_lat(y, orig_len: int, lat_axis: int = 1):
+    """Inverse of ``pad_lat_to_grid`` on model outputs."""
+    sl = [slice(None)] * y.ndim
+    sl[lat_axis] = slice(0, orig_len)
+    return y[tuple(sl)]
+
+
 def spatial_sharding(mesh: Mesh, ndim: int, lat_dim: int = 1,
                      axis: str = "data") -> NamedSharding:
     """Sequence/spatial parallelism: shard the latitude axis of an NHWC

@@ -188,3 +188,66 @@ def test_shard_mapped_kernel_jvp_matches():
     orf, dorf = jax.jvp(f_ref, (q, k, v), (tq, tk, tv))
     np.testing.assert_allclose(np.asarray(op), np.asarray(orf), rtol=2e-2, atol=2e-2)
     np.testing.assert_allclose(np.asarray(dop), np.asarray(dorf), rtol=2e-2, atol=2e-2)
+
+
+def test_scm_value_and_grad_through_pallas_jvp():
+    """The full sCM loss (jax.jvp inside value_and_grad) traces and
+    differentiates with the pallas path on — the tangent kernel has no AD
+    rules, so this guards the stop_gradient structure that keeps it off
+    the reverse path (loss.py:259-260)."""
+    import jax.numpy as jnp
+    from swift_tpu.models.precond import PassPrecond
+    from swift_tpu.models.swinv2 import SwinV2
+    from swift_tpu.training.loss import SCMLoss
+
+    Hh, Ww, C = 8, 16, 3
+    model = SwinV2(
+        img_resolution=(Hh, Ww), in_channels=2 * C, out_channels=C,
+        window_size=(2, 2), shift_size=(1, 1), patch_size=(2, 2),
+        depth=2, dim=32, heads=4, auxiliary_dim=1, logvar=True,
+        dtype=jnp.float32, use_pallas=True,
+    )
+    p = PassPrecond(model=model, img_resolution=(Hh, Ww), img_channels=C,
+                    condition_channels=C, auxiliary_dim=1, sigma_data=1.0)
+    params = p.init(jax.random.PRNGKey(0))
+    loss = SCMLoss(
+        precond=p, lat_dim=Hh,
+        variables=("2m_temperature", "geopotential_500", "temperature_850"),
+        noise={"dist": "loguniform", "sigma_min": 0.02, "sigma_max": 200.0},
+        tangent_warmup_kimg=1,
+    )
+    x = jax.random.normal(jax.random.PRNGKey(1), (2, Hh, Ww, C))
+    cond = jax.random.normal(jax.random.PRNGKey(2), (2, Hh, Ww, C))
+
+    def f(params):
+        return loss(params, jax.random.PRNGKey(3), x, step=100.0,
+                    condition=cond, auxiliary=jnp.full((2, 1), 0.6))
+
+    val, grads = jax.value_and_grad(f)(params)
+    assert np.isfinite(float(val))
+    gn = float(
+        jnp.sqrt(sum(jnp.sum(g**2) for g in jax.tree_util.tree_leaves(grads)))
+    )
+    assert np.isfinite(gn) and gn > 0
+
+    # and it must match the jnp path numerically
+    model_ref = model.clone(use_pallas=False)
+    p_ref = PassPrecond(model=model_ref, img_resolution=(Hh, Ww),
+                        img_channels=C, condition_channels=C,
+                        auxiliary_dim=1, sigma_data=1.0)
+    loss_ref = SCMLoss(
+        precond=p_ref, lat_dim=Hh, variables=loss.variables,
+        noise={"dist": "loguniform", "sigma_min": 0.02, "sigma_max": 200.0},
+        tangent_warmup_kimg=1,
+    )
+
+    def f_ref(params):
+        return loss_ref(params, jax.random.PRNGKey(3), x, step=100.0,
+                        condition=cond, auxiliary=jnp.full((2, 1), 0.6))
+
+    val_ref, grads_ref = jax.value_and_grad(f_ref)(params)
+    np.testing.assert_allclose(float(val), float(val_ref), rtol=1e-3)
+    for a, b in zip(jax.tree_util.tree_leaves(grads),
+                    jax.tree_util.tree_leaves(grads_ref)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=5e-2, atol=5e-3)

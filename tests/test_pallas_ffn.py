@@ -1,0 +1,89 @@
+"""Pallas fused SwiGLU FFN vs the jnp reference (interpret mode on CPU)."""
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from jax.experimental import pallas as pl
+
+import swift_tpu.ops.pallas_ffn as pf
+
+T, D, H = 256, 64, 160  # token count tiles at bt=128/256
+
+
+@pytest.fixture(autouse=True)
+def interpret_mode(monkeypatch):
+    if jax.default_backend() != "tpu":
+        orig = pl.pallas_call
+        monkeypatch.setattr(
+            pf.pl, "pallas_call", functools.partial(orig, interpret=True)
+        )
+    yield
+
+
+def _inputs(key=0, dtype=jnp.float32):
+    ks = jax.random.split(jax.random.PRNGKey(key), 3)
+    x = jax.random.normal(ks[0], (T, D), dtype)
+    w1 = (jax.random.normal(ks[1], (D, 2 * H)) * 0.05).astype(jnp.float32)
+    w2 = (jax.random.normal(ks[2], (H, D)) * 0.05).astype(jnp.float32)
+    return x, w1, w2
+
+
+def test_forward_matches_reference():
+    x, w1, w2 = _inputs()
+    out_p = pf.fused_swiglu_ffn(x, w1, w2)
+    out_r = pf.reference_swiglu_ffn(x, w1, w2)
+    np.testing.assert_allclose(np.asarray(out_p), np.asarray(out_r),
+                               rtol=2e-3, atol=2e-3)
+
+
+def test_backward_matches_reference():
+    x, w1, w2 = _inputs(1)
+
+    def loss_p(x, w1, w2):
+        return jnp.sum(pf.fused_swiglu_ffn(x, w1, w2) ** 2)
+
+    def loss_r(x, w1, w2):
+        return jnp.sum(pf.reference_swiglu_ffn(x, w1, w2) ** 2)
+
+    gp = jax.grad(loss_p, argnums=(0, 1, 2))(x, w1, w2)
+    gr = jax.grad(loss_r, argnums=(0, 1, 2))(x, w1, w2)
+    for a, b, name in zip(gp, gr, ["dx", "dw1", "dw2"]):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=5e-3, atol=5e-3, err_msg=name)
+
+
+def test_nontiling_token_count_raises():
+    x, w1, w2 = _inputs(2)
+    with pytest.raises(ValueError, match="does not tile"):
+        pf.fused_swiglu_ffn(x[:100], w1, w2)
+
+
+def test_swinv2_pallas_ffn_matches_jnp_model():
+    """Full SwinV2 forward with use_pallas=True (fused attention + fused
+    FFN, interpret) == use_pallas=False, same params."""
+    from swift_tpu.models.swinv2 import SwinV2
+
+    model_p = SwinV2(
+        img_resolution=(8, 16), in_channels=6, out_channels=3,
+        window_size=(2, 2), shift_size=(1, 1), patch_size=(1, 1),
+        depth=2, dim=32, heads=4, dtype=jnp.float32, use_pallas=True,
+    )
+    model_r = model_p.clone(use_pallas=False)
+    x = jax.random.normal(jax.random.PRNGKey(0), (2, 8, 16, 6))
+    t = jnp.array([0.5, 1.2])
+    params = model_r.init(jax.random.PRNGKey(1), x, t)["params"]
+    # randomize the zero-init head so the comparison is non-trivial
+    params["head"]["kernel"] = (
+        0.02 * jax.random.normal(jax.random.PRNGKey(2),
+                                 params["head"]["kernel"].shape)
+    )
+    y_p = model_p.apply({"params": params}, x, t)
+    y_r = model_r.apply({"params": params}, x, t)
+    # tolerance dominated by the attention kernel's intentional bf16 MXU
+    # casts (same bound as tests/test_pallas_attention.py); the FFN kernel
+    # itself is exact to ~1e-7 (test_forward_matches_reference).
+    np.testing.assert_allclose(np.asarray(y_p), np.asarray(y_r),
+                               rtol=2e-2, atol=2e-2)

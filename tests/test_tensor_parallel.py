@@ -221,3 +221,49 @@ def test_tp_train_step_matches_replicated():
                     jax.tree_util.tree_leaves(state_tp.params)):
         np.testing.assert_allclose(np.asarray(b), np.asarray(a),
                                    rtol=2e-4, atol=2e-4)
+
+
+def test_quarter_degree_spatial_sharded_forecast():
+    """0.25°-class scaling (SURVEY §5.7 / VERDICT r1 stretch): a 721×1440
+    input is edge-padded to 736 lat rows (patch 2 × window 16 aligned),
+    the batch-1 forward runs with the latitude axis sharded over all 8
+    devices, and the cropped result matches the replicated forward."""
+    from swift_tpu.parallel.sharding import (
+        crop_lat, pad_lat_to_grid, spatial_sharding,
+    )
+
+    Hq, Wq, Cq = 721, 512, 2  # full 0.25° lat; lon reduced to bound CPU test cost
+    model = SwinV2(
+        img_resolution=(736, Wq), in_channels=2 * Cq, out_channels=Cq,
+        window_size=(16, 16), shift_size=(8, 8), patch_size=(2, 2),
+        depth=2, dim=32, heads=2, dtype=jnp.float32, use_pallas=False,
+    )
+    p = PassPrecond(model=model, img_resolution=(736, Wq), img_channels=Cq,
+                    condition_channels=Cq, sigma_data=1.0)
+    params = p.init(jax.random.PRNGKey(0))
+    params["head"]["kernel"] = 0.02 * jax.random.normal(
+        jax.random.PRNGKey(9), params["head"]["kernel"].shape
+    )
+
+    rng = np.random.default_rng(0)
+    x_raw = rng.standard_normal((1, Hq, Wq, Cq)).astype(np.float32)
+    c_raw = rng.standard_normal((1, Hq, Wq, Cq)).astype(np.float32)
+    x_pad, orig = pad_lat_to_grid(x_raw, 2, 16)
+    c_pad, _ = pad_lat_to_grid(c_raw, 2, 16)
+    assert x_pad.shape[1] == 736 and orig == Hq
+
+    t = jnp.array([np.pi / 2], jnp.float32)
+    fwd = jax.jit(lambda pp, a, b: p.apply(pp, a, t, condition=b))
+
+    y_ref = np.asarray(fwd(params, jnp.asarray(x_pad), jnp.asarray(c_pad)))
+
+    mesh = Mesh(np.array(jax.devices()), ("data",))
+    sp = spatial_sharding(mesh, 4)  # 736 lat rows / 8 devices = 92 each
+    xs = jax.device_put(jnp.asarray(x_pad), sp)
+    cs = jax.device_put(jnp.asarray(c_pad), sp)
+    y_sp = fwd(params, xs, cs)
+    assert not y_sp.sharding.is_fully_replicated
+    np.testing.assert_allclose(
+        crop_lat(np.asarray(y_sp), orig), crop_lat(y_ref, orig),
+        rtol=2e-4, atol=2e-4,
+    )
