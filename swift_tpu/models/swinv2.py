@@ -72,20 +72,51 @@ def _as_2tuple(v) -> tuple[int, int]:
     return v
 
 
-class ModulatedNorm(nn.Module):
-    """LayerNorm + AdaLN scale/shift from the conditioning vector.
+class _AffineParams(nn.Module):
+    """LayerNorm affine params at the nn.LayerNorm paths (scale, bias)."""
 
-    Matches reference swinv2.py:77-86 (used post-norm, :101,:138).
+    dim: int
+
+    @nn.compact
+    def __call__(self):
+        return (
+            self.param("scale", nn.initializers.ones_init(), (self.dim,)),
+            self.param("bias", nn.initializers.zeros_init(), (self.dim,)),
+        )
+
+
+class ModulatedNorm(nn.Module):
+    """LayerNorm + AdaLN scale/shift from the conditioning vector, with the
+    post-norm residual add folded in.
+
+    Matches reference swinv2.py:77-86 (used post-norm, :101,:138; the
+    residual adds are :211-212). Statistics in fp32; output in the residual
+    (or compute) dtype. On TPU with ``residual`` given, the whole epilogue
+    runs as one fused Pallas pass (ops.pallas_modnorm) — one read of x and
+    residual, one write, instead of three XLA passes per site.
     """
 
     dim: int
     eps: float = 1e-6
     dtype: Dtype = jnp.bfloat16
+    use_pallas: Optional[bool] = None
+    mesh: Any = None
+    data_axis: Optional[str] = None
 
     @nn.compact
-    def __call__(self, x: jnp.ndarray, t: jnp.ndarray) -> jnp.ndarray:
-        # LayerNorm statistics in fp32 for stability; output in compute dtype.
-        x = nn.LayerNorm(epsilon=self.eps, dtype=self.dtype, name="norm")(x)
+    def __call__(
+        self,
+        x: jnp.ndarray,
+        t: jnp.ndarray,
+        residual: Optional[jnp.ndarray] = None,
+        jvp: bool = False,
+    ) -> jnp.ndarray:
+        from swift_tpu.ops.pallas_modnorm import (
+            reference_modnorm_residual,
+            sharded_modnorm_residual,
+        )
+
+        g, b = _AffineParams(self.dim, name="norm")()
         mod = nn.Dense(
             2 * self.dim,
             kernel_init=_ZEROS,
@@ -93,13 +124,22 @@ class ModulatedNorm(nn.Module):
             dtype=self.dtype,
             name="modulation",
         )(t)
-        scale, shift = jnp.split(mod, 2, axis=-1)
-        # x: (B, ..., N, D); t-derived scale/shift: (B, D) -> broadcast over
-        # window/token axes.
-        extra = x.ndim - scale.ndim
-        scale = scale.reshape(scale.shape[0], *(1,) * extra, scale.shape[-1])
-        shift = shift.reshape(shift.shape[0], *(1,) * extra, shift.shape[-1])
-        return x * (1 + scale) + shift
+        scale, shift = jnp.split(mod, 2, axis=-1)  # (B, D) each
+
+        use_pallas = self.use_pallas
+        if use_pallas is None:
+            use_pallas = jax.default_backend() == "tpu"
+        if use_pallas and not jvp and residual is not None:
+            try:
+                return sharded_modnorm_residual(
+                    x, residual, g, b, scale, shift, self.eps,
+                    mesh=self.mesh, data_axis=self.data_axis,
+                )
+            except ValueError:
+                pass
+        return reference_modnorm_residual(
+            x, residual, g, b, scale, shift, self.eps
+        )
 
 
 class _KernelParam(nn.Module):
@@ -133,6 +173,7 @@ class FeedForward(nn.Module):
     def __call__(
         self, x: jnp.ndarray, t: jnp.ndarray, jvp: bool = False
     ) -> jnp.ndarray:
+        inputs = x
         use_pallas = self.use_pallas
         if use_pallas is None:
             use_pallas = jax.default_backend() == "tpu"
@@ -161,23 +202,37 @@ class FeedForward(nn.Module):
             x = jnp.dot(jax.nn.silu(gate) * up, k2.astype(self.dtype))
             # row-parallel w2: XLA inserts the psum; output replicated.
             x = _wsc(x, self.mesh, self.data_axis, None, None)
-        return ModulatedNorm(self.dim, dtype=self.dtype, name="norm")(x, t)
+        # post-norm + the block's residual add, fused (reference :212)
+        return ModulatedNorm(
+            self.dim, dtype=self.dtype, name="norm",
+            use_pallas=self.use_pallas, mesh=self.mesh,
+            data_axis=self.data_axis,
+        )(x, t, residual=inputs, jvp=jvp)
 
 
 class WindowAttention(nn.Module):
-    """Cosine attention over (B, nW, n, D) windows, post-norm.
+    """Cosine attention over shifted spatial windows, post-norm.
 
-    Reference swinv2.py:105-139. The softmax runs in fp32; the matmuls run
-    in bf16 on the MXU with fp32 accumulation. On TPU (and jvp=False) the
-    normalize+QK^T+softmax+PV chain runs as one fused Pallas kernel
-    (swift_tpu.ops.pallas_attention); the jnp path serves CPU tests and the
-    sCM forward-mode-AD term — the same split the reference makes by
-    disabling flash attention under jvp (swinv2.py:129).
+    Reference swinv2.py:105-139 (+ the cyclic shift / window partition of
+    :186-208, which lives here so it can fuse into the kernel). Input is the
+    spatial (B, gh, gw, D) activation. The softmax runs in fp32; the matmuls
+    run in bf16 on the MXU with fp32 accumulation.
+
+    Two TPU paths:
+      * layout-native block kernel (ops.pallas_block_attention) when shapes
+        allow: consumes the qkv projection output directly — shift, window
+        partition, head split, cosine normalize, attention and the inverse
+        layout all happen in one kernel (zero XLA layout passes);
+      * per-head kernel / jnp fallback otherwise and for the sCM
+        forward-mode-AD term — the same split the reference makes by
+        disabling flash attention under jvp (swinv2.py:129).
     """
 
     dim: int
     heads: int
     head_dim: int
+    window_size: tuple[int, int]
+    shift: tuple[int, int] = (0, 0)
     dtype: Dtype = jnp.bfloat16
     use_pallas: Optional[bool] = None  # None = auto (TPU only)
     mesh: Any = None
@@ -192,22 +247,23 @@ class WindowAttention(nn.Module):
             fused_window_attention,
             reference_window_attention,
         )
+        from swift_tpu.ops.pallas_block_attention import (
+            block_attention_eligible,
+            sharded_block_attention,
+        )
 
+        from swift_tpu.ops.pallas_block_attention import _padded_dim
+
+        B, gh, gw, _ = x.shape
+        wh, ww = self.window_size
+        sh, sw = self.shift
         inner = self.heads * self.head_dim
-        qkv = nn.Dense(
-            inner * 3,
-            use_bias=False,
-            kernel_init=_TRUNC02,
-            dtype=self.dtype,
-            name="to_qkv",
-        )(x)
-        # column-parallel qkv: heads are the outer factor of the flattened
-        # (heads · 3·head_dim) feature axis, so sharding it over `model`
-        # IS the per-head split.
-        qkv = _wsc(qkv, self.mesh, self.data_axis, None, None, self.model_axis)
-        B, nW, n, _ = qkv.shape
-        qkv = qkv.reshape(B, nW, n, self.heads, 3 * self.head_dim)
-        q, k, v = jnp.split(qkv, 3, axis=-1)
+        # raw kernel at the nn.Dense param path (to_qkv/kernel) so
+        # checkpoints/sharding are unchanged; having the array in hand lets
+        # the block-kernel path pad weight *columns* so the matmul emits the
+        # lane-aligned layout directly (padding the activation instead costs
+        # two full HBM passes per block — measured).
+        k_qkv = _KernelParam((x.shape[-1], inner * 3), name="to_qkv")()
 
         # learned per-head log scale, init log(10), clamped at log(100)
         # (reference swinv2.py:116,125).
@@ -218,49 +274,103 @@ class WindowAttention(nn.Module):
         )
         logit_scale = jnp.exp(jnp.clip(logit_scale, max=math.log(100.0)))
 
+        use_pallas = self.use_pallas
+        if use_pallas is None:
+            use_pallas = jax.default_backend() == "tpu"
+
+        if (
+            use_pallas
+            and not jvp
+            and block_attention_eligible(
+                (gh, gw), (wh, ww), (sh, sw), self.heads, inner
+            )
+        ):
+            dp = _padded_dim(self.head_dim)
+            kp = k_qkv.reshape(x.shape[-1], self.heads, 3, self.head_dim)
+            if dp != self.head_dim:
+                kp = jnp.pad(
+                    kp, ((0, 0), (0, 0), (0, 0), (0, dp - self.head_dim))
+                )
+            kp = kp.reshape(x.shape[-1], self.heads * 3 * dp)
+            qkv = jnp.dot(x.astype(self.dtype), kp.astype(self.dtype))
+            # column-parallel qkv: features are heads-major chunks, so
+            # sharding them over `model` IS the per-head split.
+            qkv = _wsc(qkv, self.mesh, self.data_axis, None, None, self.model_axis)
+            out = sharded_block_attention(
+                qkv, logit_scale, self.heads, (wh, ww), (sh, sw),
+                mesh=self.mesh, data_axis=self.data_axis,
+                model_axis=self.model_axis,
+            ).astype(self.dtype)
+            # stay in the padded (heads·dp) layout: wo's rows get the same
+            # zero padding, so the slice back to heads·d never materializes
+            # (the attention kernel writes zeros in the pad lanes).
+            padded_out = dp != self.head_dim
+        else:
+            padded_out = False
+            qkv = jnp.dot(x.astype(self.dtype), k_qkv.astype(self.dtype))
+            qkv = _wsc(qkv, self.mesh, self.data_axis, None, None, self.model_axis)
+            out = self._per_head_path(
+                qkv, logit_scale, jvp,
+                fused_window_attention if use_pallas
+                else (lambda q, k, v, s, **kw: reference_window_attention(q, k, v, s)),
+            )
+        out = _wsc(out, self.mesh, self.data_axis, None, None, self.model_axis)
+
+        k_wo = _KernelParam((inner, self.dim), name="wo")()
+        if padded_out:
+            dp = _padded_dim(self.head_dim)
+            k_wo = jnp.pad(
+                k_wo.reshape(self.heads, self.head_dim, self.dim),
+                ((0, 0), (0, dp - self.head_dim), (0, 0)),
+            ).reshape(self.heads * dp, self.dim)
+        out = jnp.dot(out.astype(self.dtype), k_wo.astype(self.dtype))
+        # row-parallel wo: output replicated over model after XLA's psum.
+        out = _wsc(out, self.mesh, self.data_axis, None, None, None)
+        # post-norm + the block's residual add, fused (reference :211)
+        return ModulatedNorm(
+            self.dim, dtype=self.dtype, name="norm",
+            use_pallas=self.use_pallas, mesh=self.mesh,
+            data_axis=self.data_axis,
+        )(out, t, residual=x, jvp=jvp)
+
+    def _per_head_path(self, qkv, logit_scale, jvp, attn_fn):
+        """Classic pipeline: XLA shift/partition/head-split around a
+        (B·nW, h, n, d) attention core (per-head Pallas kernel or jnp)."""
+        B, gh, gw, _ = qkv.shape
+        wh, ww = self.window_size
+        sh, sw = self.shift
+        inner = self.heads * self.head_dim
+        if sh or sw:
+            qkv = cyclic_shift(qkv, (-sh, -sw))
+        qkv = window_partition(qkv, (wh, ww))  # (B, nW, n, 3·inner)
+        nW, n = qkv.shape[1], qkv.shape[2]
+        qkv = qkv.reshape(B, nW, n, self.heads, 3 * self.head_dim)
+        q, k, v = jnp.split(qkv, 3, axis=-1)
+
         # (B, nW, n, h, d) -> (B*nW, h, n, d)
         def to_heads(a):
             return a.transpose(0, 1, 3, 2, 4).reshape(
                 B * nW, self.heads, n, self.head_dim
             )
 
-        use_pallas = self.use_pallas
-        if use_pallas is None:
-            use_pallas = jax.default_backend() == "tpu"
-        if use_pallas:
-            # jvp=True: fused primal + forward-mode tangent rule (the sCM
-            # tangent path; see pallas_attention._sdpa_jvp_capable). The
-            # mesh shard_maps the kernel over (data, model) so the fused
-            # path composes with TP (heads are a grid axis).
-            attn_fn = lambda *a: fused_window_attention(
-                *a, jvp=jvp, mesh=self.mesh,
-                data_axis=self.data_axis, model_axis=self.model_axis,
-            )
-        else:
-            attn_fn = reference_window_attention
         qh, kh, vh = (
             _wsc(to_heads(a), self.mesh, self.data_axis, self.model_axis)
             for a in (q, k, v)
         )
-        out = attn_fn(qh, kh, vh, logit_scale)
+        out = attn_fn(
+            qh, kh, vh, logit_scale, jvp=jvp, mesh=self.mesh,
+            data_axis=self.data_axis, model_axis=self.model_axis,
+        )
         out = (
             out.reshape(B, nW, self.heads, n, self.head_dim)
             .transpose(0, 1, 3, 2, 4)
             .reshape(B, nW, n, inner)
             .astype(self.dtype)
         )
-        out = _wsc(out, self.mesh, self.data_axis, None, None, self.model_axis)
-
-        out = nn.Dense(
-            self.dim,
-            use_bias=False,
-            kernel_init=_TRUNC02,
-            dtype=self.dtype,
-            name="wo",
-        )(out)
-        # row-parallel wo: output replicated over model after XLA's psum.
-        out = _wsc(out, self.mesh, self.data_axis, None, None, None)
-        return ModulatedNorm(self.dim, dtype=self.dtype, name="norm")(out, t)
+        out = window_reverse(out, (wh, ww), (gh, gw))
+        if sh or sw:
+            out = cyclic_shift(out, (sh, sw))
+        return out
 
 
 class SwinBlock(nn.Module):
@@ -283,26 +393,21 @@ class SwinBlock(nn.Module):
     def __call__(self, x: jnp.ndarray, t: jnp.ndarray, jvp: bool = False):
         gh, gw = self.grid_size
         B, N, D = x.shape
-        xp = x
         tp = dict(mesh=self.mesh, data_axis=self.data_axis,
                   model_axis=self.model_axis)
 
-        x = x.reshape(B, gh, gw, D)
-        sh, sw = self.shift
-        if sh or sw:
-            x = cyclic_shift(x, (-sh, -sw))
-        x = window_partition(x, self.window_size)  # B, nW, n, D
+        # (B, N, D) -> (B, gh, gw, D) is a free view; shift/partition live
+        # inside WindowAttention so they can fuse into the block kernel,
+        # and both residual adds are folded into the post-norms.
         x = WindowAttention(
-            self.dim, self.heads, self.head_dim, dtype=self.dtype,
-            use_pallas=self.use_pallas, name="attn", **tp,
-        )(x, t, jvp)
-        x = window_reverse(x, self.window_size, self.grid_size)
-        if sh or sw:
-            x = cyclic_shift(x, (sh, sw))
+            self.dim, self.heads, self.head_dim,
+            window_size=self.window_size, shift=self.shift,
+            dtype=self.dtype, use_pallas=self.use_pallas, name="attn", **tp,
+        )(x.reshape(B, gh, gw, D), t, jvp)
         x = x.reshape(B, N, D)
 
-        x = _wsc(xp + x, self.mesh, self.data_axis, None, None)
-        x = x + FeedForward(
+        x = _wsc(x, self.mesh, self.data_axis, None, None)
+        x = FeedForward(
             self.dim, self.mlp_dim, dtype=self.dtype, name="ff",
             use_pallas=self.use_pallas, **tp,
         )(x, t, jvp)

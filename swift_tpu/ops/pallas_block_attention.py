@@ -1,0 +1,415 @@
+"""Layout-native fused Swin block attention (TPU Pallas).
+
+The round-1 per-head kernel (pallas_attention.py) fused QK^T+softmax+PV but
+left the *layout* work to XLA: cyclic roll, window partition, three
+head-split transposes, the qkv chunk slices, the q/k cosine normalization,
+and the inverse of all of it on the way out. At the flagship's shapes those
+layout passes cost more than the attention math itself (profile: ~300 ms of
+copies/slices/converts vs ~90 ms of attention in a 912 ms forward at B=24).
+
+This kernel consumes the qkv projection's natural output — one
+``(B, gh, gw, heads·3·d)`` tensor in the reference's per-head [q|k|v]
+interleave (reference src/swift/models/swinv2.py:118-122) — and produces
+attention output directly in ``(B, gh, gw, heads·d)`` spatial layout:
+
+  * grid ``(B, heads)``: one program owns one (sample, head) and loops over
+    all windows in-register — large enough programs that Mosaic's per-step
+    overhead vanishes (the per-head kernel ran 9216 tiny programs);
+  * the same qkv array is passed three times with different index maps —
+    the q/k/v chunks of head ``h`` sit at 88-wide feature blocks
+    ``3h, 3h+1, 3h+2`` — so the head split costs zero data movement;
+  * cosine normalization (fp32) + the learned per-head logit scale happen
+    on the VMEM tile (reference swinv2.py:116-127);
+  * the odd-block cyclic shift (reference swinv2.py:193-194) is folded in:
+    inputs are rolled and the output un-rolled inside the kernel by
+    slice+concat on the spatial dims — no HBM roll passes at all.
+
+Backward is a mirrored kernel (same grid/blocks) that recomputes the
+softmax and emits dqkv in the same interleaved layout plus per-(sample,
+head) partials of the logit-scale gradient in SMEM.
+
+Shapes must satisfy ``gh % wh == 0``, ``gw % ww == 0`` and sublane
+alignment (``ww % 8 == 0`` when ``ww < gw``; shift multiples of 8 on the
+width axis); callers gate on :func:`block_attention_eligible` and fall back
+to the per-head path otherwise.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+_EPS = 1e-12
+
+
+def block_attention_eligible(
+    grid_size, window_size, shift, heads: int, dim_inner: int
+) -> bool:
+    """Static shape gate for the layout-native kernel (Mosaic sublane rules)."""
+    gh, gw = grid_size
+    wh, ww = window_size
+    sh, sw = shift
+    d, rem = divmod(dim_inner, heads)
+    if rem:
+        return False
+    if gh % wh or gw % ww:
+        return False
+    # window column slices / width rolls act on the sublane dim -> 8-aligned
+    if gw // ww > 1 and ww % 8:
+        return False
+    if sw and sw % 8:
+        return False
+    # keep the whole (gh, gw, d) tile + logits comfortably in VMEM
+    n = wh * ww
+    if n > 1024 or gh * gw * max(d, 128) * 4 > 24 * 1024 * 1024:
+        return False
+    return True
+
+
+def _roll2(x, r0: int, r1: int):
+    """jnp.roll on the two leading dims of a (gh, gw, d) VMEM tile via
+    slice+concat (r1 acts on the sublane dim — callers keep it 8-aligned)."""
+    g0, g1 = x.shape[0], x.shape[1]
+    s0, s1 = (-r0) % g0, (-r1) % g1
+    if s0:
+        x = jnp.concatenate([x[s0:], x[:s0]], axis=0)
+    if s1:
+        x = jnp.concatenate([x[:, s1:], x[:, :s1]], axis=1)
+    return x
+
+
+def _window_attn_fwd(qw, kw, vw, s, mm_dtype):
+    """One window: cosine attention. qw/kw/vw: (n, d) raw projections."""
+    qf = qw.astype(jnp.float32)
+    kf = kw.astype(jnp.float32)
+    qn = qf * jax.lax.rsqrt(jnp.sum(qf * qf, -1, keepdims=True) + _EPS) * s
+    kn = kf * jax.lax.rsqrt(jnp.sum(kf * kf, -1, keepdims=True) + _EPS)
+    logits = jax.lax.dot_general(
+        qn.astype(mm_dtype), kn.astype(mm_dtype),
+        (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    logits = logits - jnp.max(logits, -1, keepdims=True)
+    e = jnp.exp(logits)
+    p = e / jnp.sum(e, -1, keepdims=True)
+    return jnp.dot(
+        p.astype(mm_dtype), vw.astype(mm_dtype),
+        preferred_element_type=jnp.float32,
+    )
+
+
+def _fwd_kernel(q_ref, k_ref, v_ref, s_ref, o_ref, *, wh, ww, sh, sw):
+    s = s_ref[0, 0, 0, 0]
+    q, k, v = q_ref[0], k_ref[0], v_ref[0]  # (gh, gw, d)
+    if sh or sw:
+        q, k, v = (_roll2(a, -sh, -sw) for a in (q, k, v))
+    gh, gw, d = q.shape
+    mm = jnp.bfloat16 if o_ref.dtype == jnp.bfloat16 else o_ref.dtype
+    rows = []
+    for i in range(gh // wh):
+        tiles = []
+        for j in range(gw // ww):
+            sl = (slice(i * wh, (i + 1) * wh), slice(j * ww, (j + 1) * ww))
+            qw = q[sl].reshape(wh * ww, d)
+            kw = k[sl].reshape(wh * ww, d)
+            vw = v[sl].reshape(wh * ww, d)
+            o = _window_attn_fwd(qw, kw, vw, s, mm)
+            tiles.append(o.reshape(wh, ww, d))
+        rows.append(jnp.concatenate(tiles, axis=1) if len(tiles) > 1 else tiles[0])
+    out = jnp.concatenate(rows, axis=0) if len(rows) > 1 else rows[0]
+    if sh or sw:
+        out = _roll2(out, sh, sw)
+    o_ref[0] = out.astype(o_ref.dtype)
+
+
+def _bwd_kernel(
+    q_ref, k_ref, v_ref, s_ref, do_ref, dqkv_ref, dsp_ref, *, wh, ww, sh, sw
+):
+    s = s_ref[0, 0, 0, 0]
+    q, k, v = q_ref[0], k_ref[0], v_ref[0]
+    do = do_ref[0]
+    if sh or sw:
+        q, k, v, do = (_roll2(a, -sh, -sw) for a in (q, k, v, do))
+    gh, gw, d = q.shape
+    mm = jnp.bfloat16 if do_ref.dtype == jnp.bfloat16 else jnp.float32
+    ds_total = jnp.zeros((), jnp.float32)
+    rows = []
+    for i in range(gh // wh):
+        tiles = []
+        for j in range(gw // ww):
+            sl = (slice(i * wh, (i + 1) * wh), slice(j * ww, (j + 1) * ww))
+            n = wh * ww
+            qf = q[sl].reshape(n, d).astype(jnp.float32)
+            kf = k[sl].reshape(n, d).astype(jnp.float32)
+            vw = v[sl].reshape(n, d)
+            dow = do[sl].reshape(n, d).astype(jnp.float32)
+
+            rq = jax.lax.rsqrt(jnp.sum(qf * qf, -1, keepdims=True) + _EPS)
+            rk = jax.lax.rsqrt(jnp.sum(kf * kf, -1, keepdims=True) + _EPS)
+            qh = qf * rq  # normalized q (no scale)
+            kh = kf * rk
+            qn = qh * s
+            logits = jax.lax.dot_general(
+                qn.astype(mm), kh.astype(mm), (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            m = jnp.max(logits, -1, keepdims=True)
+            e = jnp.exp(logits - m)
+            p = e / jnp.sum(e, -1, keepdims=True)
+
+            dv = jax.lax.dot_general(  # p^T @ do
+                p.astype(mm), dow.astype(mm), (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            dp = jax.lax.dot_general(  # do @ v^T
+                dow.astype(mm), vw.astype(mm), (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            dS = p * (dp - jnp.sum(p * dp, -1, keepdims=True))
+            # d/dscale: logits = s * (qh @ kh^T)  ->  sum(dS * logits) / s
+            ds_total += jnp.sum(dS * logits) / s
+            dqn = jnp.dot(dS.astype(mm), kh.astype(mm),
+                          preferred_element_type=jnp.float32)
+            dkh = jax.lax.dot_general(  # dS^T @ qn
+                dS.astype(mm), qn.astype(mm), (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            dqh = dqn * s
+            dqf = (dqh - qh * jnp.sum(dqh * qh, -1, keepdims=True)) * rq
+            dkf = (dkh - kh * jnp.sum(dkh * kh, -1, keepdims=True)) * rk
+            tile = jnp.concatenate(
+                [dqf.astype(dqkv_ref.dtype).reshape(wh, ww, d),
+                 dkf.astype(dqkv_ref.dtype).reshape(wh, ww, d),
+                 dv.astype(dqkv_ref.dtype).reshape(wh, ww, d)],
+                axis=-1,
+            )
+            tiles.append(tile)
+        rows.append(jnp.concatenate(tiles, axis=1) if len(tiles) > 1 else tiles[0])
+    dqkv = jnp.concatenate(rows, axis=0) if len(rows) > 1 else rows[0]
+    if sh or sw:
+        dqkv = _roll2(dqkv, sh, sw)
+    dqkv_ref[0] = dqkv
+    dsp_ref[0, 0, 0, 0] = ds_total
+
+
+def _specs(B, gh, gw, heads, d):
+    """(q, k, v, scale) input specs over the shared qkv array."""
+    qkv_block = (1, gh, gw, d)
+
+    def chunk(off):
+        return pl.BlockSpec(
+            qkv_block, lambda b, h, off=off: (b, 0, 0, 3 * h + off),
+            memory_space=pltpu.VMEM,
+        )
+
+    # scalar-per-(program) operands ride as (1, heads, 1, 1) VMEM arrays:
+    # (1,1,1,1) blocks satisfy Mosaic's last-two-dims rule by equality.
+    s_spec = pl.BlockSpec(
+        (1, 1, 1, 1), lambda b, h: (0, h, 0, 0), memory_space=pltpu.VMEM
+    )
+    return [chunk(0), chunk(1), chunk(2), s_spec]
+
+
+def _fwd_call(qkv, scale, heads, window_size, shift):
+    B, gh, gw, feat = qkv.shape
+    d = feat // (3 * heads)
+    wh, ww = window_size
+    sh, sw = shift
+    n = wh * ww
+    nW = (gh // wh) * (gw // ww)
+    kern = functools.partial(_fwd_kernel, wh=wh, ww=ww, sh=sh, sw=sw)
+    return pl.pallas_call(
+        kern,
+        grid=(B, heads),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
+        in_specs=_specs(B, gh, gw, heads, d),
+        out_specs=pl.BlockSpec(
+            (1, gh, gw, d), lambda b, h: (b, 0, 0, h), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((B, gh, gw, heads * d), qkv.dtype),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * B * heads * nW * (2 * n * n * d),
+            bytes_accessed=4 * B * gh * gw * heads * d * qkv.dtype.itemsize,
+            transcendentals=B * heads * nW * n * n,
+        ),
+    )(qkv, qkv, qkv, scale.reshape(1, heads, 1, 1).astype(jnp.float32))
+
+
+def _bwd_call(qkv, scale, dout, heads, window_size, shift):
+    B, gh, gw, feat = qkv.shape
+    d = feat // (3 * heads)
+    wh, ww = window_size
+    sh, sw = shift
+    n = wh * ww
+    nW = (gh // wh) * (gw // ww)
+    kern = functools.partial(_bwd_kernel, wh=wh, ww=ww, sh=sh, sw=sw)
+    compiler_params = pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024)
+    in_specs = _specs(B, gh, gw, heads, d) + [
+        pl.BlockSpec((1, gh, gw, d), lambda b, h: (b, 0, 0, h),
+                     memory_space=pltpu.VMEM)
+    ]
+    dqkv, dsp = pl.pallas_call(
+        kern,
+        grid=(B, heads),
+        compiler_params=compiler_params,
+        in_specs=in_specs,
+        out_specs=[
+            pl.BlockSpec((1, gh, gw, 3 * d), lambda b, h: (b, 0, 0, h),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, 1, 1), lambda b, h: (b, h, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct(qkv.shape, qkv.dtype),
+            jax.ShapeDtypeStruct((B, heads, 1, 1), jnp.float32),
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=2 * B * heads * nW * (5 * n * n * d),
+            bytes_accessed=8 * B * gh * gw * heads * d * qkv.dtype.itemsize,
+            transcendentals=B * heads * nW * n * n,
+        ),
+    )(qkv, qkv, qkv, scale.reshape(1, heads, 1, 1).astype(jnp.float32), dout)
+    return dqkv, dsp.reshape(B, heads).sum(axis=0).astype(scale.dtype)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4))
+def _fba_padded(qkv, scale, heads, window_size, shift):
+    """Kernel entry at lane-aligned head width (d % 128 == 0)."""
+    return _fwd_call(qkv, scale, heads, window_size, shift)
+
+
+def _fba_fwd(qkv, scale, heads, window_size, shift):
+    return _fwd_call(qkv, scale, heads, window_size, shift), (qkv, scale)
+
+
+def _fba_bwd(heads, window_size, shift, res, dout):
+    qkv, scale = res
+    return _bwd_call(qkv, scale, dout.astype(qkv.dtype), heads, window_size, shift)
+
+
+_fba_padded.defvjp(_fba_fwd, _fba_bwd)
+
+
+def _padded_dim(d: int) -> int:
+    return d if d % 128 == 0 else (d // 128 + 1) * 128
+
+
+def fused_block_attention(qkv, scale, heads, window_size, shift=(0, 0)):
+    """Swin window attention straight from the qkv projection's layout.
+
+    qkv: (B, gh, gw, heads·3·d), per-head [q|k|v] interleave (the reference
+      qkv chunk order, swinv2.py:118-122);
+    scale: (heads,) — exp'ed, clamped per-head cosine-attention logit scale;
+    window_size / shift: static (wh, ww) / (sh, sw); shift is applied as a
+      cyclic roll of (-sh, -sw) before windowing and undone on the output,
+      inside the kernel (reference swinv2.py:193-194,207-208).
+
+    Mosaic requires lane-dim blocks divisible by 128, so each 88-wide head
+    chunk is zero-padded to 128 around the kernel. The attention math is
+    invariant to zero lanes (they contribute nothing to the cosine norms,
+    QK^T, or PV), so no masking is needed; the pad/slice cost one cheap XLA
+    copy each vs the ~10x larger layout passes this kernel eliminates.
+
+    Returns (B, gh, gw, heads·d) in qkv.dtype, head-major features.
+    """
+    B, gh, gw, feat = qkv.shape
+    d = feat // (3 * heads)
+    dp = _padded_dim(d)
+    if dp != d:
+        q5 = qkv.reshape(B, gh, gw, 3 * heads, d)
+        q5 = jnp.pad(q5, ((0, 0),) * 4 + ((0, dp - d),))
+        qkv = q5.reshape(B, gh, gw, 3 * heads * dp)
+    out = _fba_padded(qkv, scale, heads, window_size, shift)
+    if dp != d:
+        out = out.reshape(B, gh, gw, heads, dp)[..., :d]
+        out = out.reshape(B, gh, gw, heads * d)
+    return out
+
+
+def sharded_block_attention(
+    qkv, scale, heads, window_size, shift=(0, 0),
+    mesh=None, data_axis=None, model_axis=None,
+):
+    """fused_block_attention, shard_map'd over a (data, model) mesh.
+
+    Batch shards over ``data_axis``; heads shard over ``model_axis`` as
+    contiguous 3·d feature chunks — exactly the column-parallel qkv split
+    (swift_tpu.parallel.sharding), so attention under TP needs no
+    cross-shard communication. Axes that don't divide stay unsharded.
+    """
+    if mesh is None:
+        return fused_block_attention(qkv, scale, heads, window_size, shift)
+
+    B = qkv.shape[0]
+
+    def usable(axis, size):
+        return (
+            axis is not None
+            and axis in mesh.axis_names
+            and mesh.shape[axis] > 1
+            and size % mesh.shape[axis] == 0
+        )
+
+    b_ax = data_axis if usable(data_axis, B) else None
+    h_ax = model_axis if usable(model_axis, heads) else None
+    if not (b_ax or h_ax):
+        return fused_block_attention(qkv, scale, heads, window_size, shift)
+
+    from jax import shard_map
+    from jax.sharding import PartitionSpec as P
+
+    local_heads = heads // (mesh.shape[h_ax] if h_ax else 1)
+
+    def f(qkv_l, scale_l):
+        return fused_block_attention(
+            qkv_l, scale_l, local_heads, window_size, shift
+        )
+
+    return shard_map(
+        f, mesh=mesh,
+        in_specs=(P(b_ax, None, None, h_ax), P(h_ax)),
+        out_specs=P(b_ax, None, None, h_ax),
+        check_vma=False,
+    )(qkv, scale)
+
+
+def reference_block_attention(qkv, scale, heads, window_size, shift=(0, 0)):
+    """jnp reference: identical math via explicit roll/partition/transposes.
+
+    Used by tests and as the general-shape fallback semantics definition.
+    """
+    from swift_tpu.ops.windows import cyclic_shift, window_partition, window_reverse
+
+    B, gh, gw, feat = qkv.shape
+    d = feat // (3 * heads)
+    wh, ww = window_size
+    sh, sw = shift
+    x = cyclic_shift(qkv, (-sh, -sw)) if (sh or sw) else qkv
+    x = window_partition(x, (wh, ww))  # (B, nW, n, feat)
+    nW, n = x.shape[1], x.shape[2]
+    x = x.reshape(B, nW, n, heads, 3 * d)
+    q, k, v = jnp.split(x, 3, axis=-1)  # each (B, nW, n, h, d)
+
+    def nrm(a):
+        a = a.astype(jnp.float32)
+        return a * jax.lax.rsqrt(jnp.sum(a * a, -1, keepdims=True) + _EPS)
+
+    qn = nrm(q) * scale.astype(jnp.float32)[None, None, None, :, None]
+    kn = nrm(k)
+    mm = qkv.dtype
+    s = jnp.einsum("bwnhd,bwmhd->bwhnm", qn.astype(mm), kn.astype(mm),
+                   preferred_element_type=jnp.float32)
+    p = jax.nn.softmax(s, axis=-1)
+    o = jnp.einsum("bwhnm,bwmhd->bwnhd", p.astype(mm), v,
+                   preferred_element_type=jnp.float32)
+    o = o.reshape(B, nW, n, heads * d).astype(qkv.dtype)
+    o = window_reverse(o, (wh, ww), (gh, gw))
+    if sh or sw:
+        o = cyclic_shift(o, (sh, sw))
+    return o

@@ -1,0 +1,193 @@
+"""Fused residual + LayerNorm + AdaLN modulation epilogue (TPU Pallas).
+
+Every SwinV2 block applies ``x = x + modnorm(y, t)`` twice — after the
+attention output projection and after the feed-forward (post-norm AdaLN,
+reference src/swift/models/swinv2.py:77-86, :211-212). Left to XLA this is
+three passes over the (B, N, D) activation per site (statistics reduce,
+normalize+modulate, residual add); fused it is one read of y + x and one
+write — at the flagship's B=24 forward that's ~100 ms/step of HBM traffic
+(profile r2).
+
+The kernel streams (block_tokens, D) tiles: LayerNorm statistics in fp32
+over the lane axis (D is fully resident per tile), the per-sample AdaLN
+scale/shift row is selected by index map (token tiles never straddle a
+sample), residual added in fp32, one cast on the way out.
+
+Backward is the plain jnp composition via ``jax.vjp`` (XLA fuses it well;
+the win here is the forward/inference path).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _kernel(y_ref, r_ref, g_ref, b_ref, ms_ref, mb_ref, o_ref, *, eps):
+    y = y_ref[...].astype(jnp.float32)  # (bt, D)
+    mu = jnp.mean(y, -1, keepdims=True)
+    var = jnp.mean(y * y, -1, keepdims=True) - mu * mu
+    yn = (y - mu) * jax.lax.rsqrt(var + eps)
+    ln = yn * g_ref[0].astype(jnp.float32) + b_ref[0].astype(jnp.float32)
+    out = ln * (1.0 + ms_ref[0, 0].astype(jnp.float32)) + mb_ref[0, 0].astype(
+        jnp.float32
+    )
+    out = out + r_ref[...].astype(jnp.float32)
+    o_ref[...] = out.astype(o_ref.dtype)
+
+
+def _pick_block(tokens_per_sample: int) -> int:
+    for bt in (512, 256, 128, 64, 32, 16, 8):
+        if tokens_per_sample % bt == 0:
+            return bt
+    return 0
+
+
+def modnorm_residual_eligible(tokens_per_sample: int) -> bool:
+    return _pick_block(tokens_per_sample) > 0
+
+
+def _call(y2, r2, g, b, msc, msh, eps, tokens_per_sample):
+    T, D = y2.shape
+    bt = _pick_block(tokens_per_sample)
+    per = tokens_per_sample // bt  # tiles per sample
+
+    def tok_spec():
+        return pl.BlockSpec((bt, D), lambda i: (i, 0), memory_space=pltpu.VMEM)
+
+    def vec_spec():
+        return pl.BlockSpec((1, D), lambda i: (0, 0), memory_space=pltpu.VMEM)
+
+    def mod_spec():
+        # (B, 1, D) so the block's last two dims equal the array dims
+        return pl.BlockSpec((1, 1, D), lambda i: (i // per, 0, 0),
+                            memory_space=pltpu.VMEM)
+
+    import functools
+
+    return pl.pallas_call(
+        functools.partial(_kernel, eps=eps),
+        grid=(T // bt,),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=64 * 1024 * 1024,
+        ),
+        in_specs=[tok_spec(), tok_spec(), vec_spec(), vec_spec(),
+                  mod_spec(), mod_spec()],
+        out_specs=tok_spec(),
+        out_shape=jax.ShapeDtypeStruct((T, D), r2.dtype),
+        cost_estimate=pl.CostEstimate(
+            flops=10 * T * D,
+            bytes_accessed=3 * T * D * y2.dtype.itemsize,
+            transcendentals=0,
+        ),
+    )(y2, r2, g.reshape(1, D), b.reshape(1, D),
+      msc.reshape(-1, 1, D), msh.reshape(-1, 1, D))
+
+
+def reference_modnorm_residual(y, residual, g, b, mod_scale, mod_shift,
+                               eps=1e-6):
+    """jnp composition: residual + (LN(y)·g+b)·(1+scale)+shift, fp32 math.
+
+    ``residual=None`` skips the add (plain post-norm AdaLN)."""
+    yf = y.astype(jnp.float32)
+    mu = jnp.mean(yf, -1, keepdims=True)
+    var = jnp.mean(yf * yf, -1, keepdims=True) - mu * mu
+    yn = (yf - mu) * jax.lax.rsqrt(var + eps)
+    ln = yn * g.astype(jnp.float32) + b.astype(jnp.float32)
+    extra = y.ndim - mod_scale.ndim
+    sc = mod_scale.reshape(mod_scale.shape[0], *(1,) * extra, -1)
+    sh = mod_shift.reshape(mod_shift.shape[0], *(1,) * extra, -1)
+    out = ln * (1.0 + sc.astype(jnp.float32)) + sh.astype(jnp.float32)
+    if residual is None:
+        return out.astype(y.dtype)
+    return (out + residual.astype(jnp.float32)).astype(residual.dtype)
+
+
+def sharded_modnorm_residual(y, residual, g, b, mod_scale, mod_shift,
+                             eps=1e-6, mesh=None, data_axis=None):
+    """fused_modnorm_residual, shard_map'd over the batch when a mesh is
+    configured (pallas_call under bare GSPMD would force replication).
+    Raises ValueError on untileable shapes — callers fall back to jnp."""
+    if mesh is None:
+        return fused_modnorm_residual(y, residual, g, b, mod_scale,
+                                      mod_shift, eps)
+    B = y.shape[0]
+    if (
+        data_axis is None
+        or data_axis not in mesh.axis_names
+        or mesh.shape[data_axis] <= 1
+        or B % mesh.shape[data_axis]
+    ):
+        raise ValueError("batch does not shard over the mesh")
+    from jax import shard_map
+    from jax.sharding import PartitionSpec as P
+
+    bspec = P(data_axis, *([None] * (y.ndim - 1)))
+    mspec = P(data_axis, None)
+    vspec = P(None)
+
+    def f(y, r, g, b, msc, msh):
+        return fused_modnorm_residual(y, r, g, b, msc, msh, eps)
+
+    return shard_map(
+        f, mesh=mesh,
+        in_specs=(bspec, bspec, vspec, vspec, mspec, mspec),
+        out_specs=bspec, check_vma=False,
+    )(y, residual, g, b, mod_scale, mod_shift)
+
+
+import functools
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(6, 7))
+def _fused(y2, r2, g, b, msc, msh, eps, tokens_per_sample):
+    return _call(y2, r2, g, b, msc, msh, eps, tokens_per_sample)
+
+
+def _fused_fwd(y2, r2, g, b, msc, msh, eps, tokens_per_sample):
+    out = _call(y2, r2, g, b, msc, msh, eps, tokens_per_sample)
+    return out, (y2, r2, g, b, msc, msh)
+
+
+def _fused_bwd(eps, tps, res, dout):
+    y2, r2, g, b, msc, msh = res
+    B = msc.shape[0]
+    per = y2.shape[0] // B
+
+    def ref(y2, r2, g, b, msc, msh):
+        y = y2.reshape(B, per, -1)
+        r = r2.reshape(B, per, -1)
+        return reference_modnorm_residual(y, r, g, b, msc, msh, eps).reshape(
+            y2.shape
+        )
+
+    _, vjp = jax.vjp(ref, y2, r2, g, b, msc, msh)
+    return vjp(dout)
+
+
+_fused.defvjp(_fused_fwd, _fused_bwd)
+
+
+def fused_modnorm_residual(y, residual, g, b, mod_scale, mod_shift, eps=1e-6):
+    """``residual + (LayerNorm(y)·g + b)·(1 + mod_scale) + mod_shift``.
+
+    y / residual: (B, ..., D); g / b: (D,) LayerNorm affine params;
+    mod_scale / mod_shift: (B, D) per-sample AdaLN rows. Returns
+    residual.dtype. Raises ValueError when the per-sample token count
+    doesn't tile (callers fall back to reference_modnorm_residual).
+    """
+    B = y.shape[0]
+    D = y.shape[-1]
+    tps = 1
+    for s in y.shape[1:-1]:
+        tps *= s
+    if not modnorm_residual_eligible(tps):
+        raise ValueError(f"tokens per sample {tps} does not tile")
+    y2 = y.reshape(B * tps, D)
+    r2 = residual.reshape(B * tps, D)
+    out = _fused(y2, r2, g, b,
+                 mod_scale.astype(y.dtype), mod_shift.astype(y.dtype),
+                 eps, tps)
+    return out.reshape(residual.shape)

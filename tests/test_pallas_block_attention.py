@@ -1,0 +1,165 @@
+"""Layout-native block attention kernel vs the jnp reference.
+
+On CPU these run the Pallas kernels in interpreter mode; on TPU the real
+kernels compile. Forward (shifted + unshifted), backward (custom_vjp incl.
+the in-kernel cosine-normalize and logit-scale gradients), model-level
+consistency and the TP shard_map wrapper are all checked.
+"""
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from jax.experimental import pallas as pl
+
+import swift_tpu.ops.pallas_block_attention as pba
+
+B, GH, GW, HEADS, D = 2, 8, 16, 3, 8  # window (4, 8) -> n = 32
+WIN = (4, 8)
+FEAT = HEADS * 3 * D
+
+
+@pytest.fixture(autouse=True)
+def interpret_mode(monkeypatch):
+    """Force pallas interpreter mode off-TPU."""
+    if jax.default_backend() != "tpu":
+        orig = pl.pallas_call
+        monkeypatch.setattr(
+            pba.pl, "pallas_call", functools.partial(orig, interpret=True)
+        )
+    yield
+
+
+def _inputs(key=0):
+    ks = jax.random.split(jax.random.PRNGKey(key), 2)
+    qkv = jax.random.normal(ks[0], (B, GH, GW, FEAT), jnp.float32)
+    scale = jnp.exp(jax.random.normal(ks[1], (HEADS,)) * 0.1 + 1.0)
+    return qkv, scale
+
+
+def test_eligibility_gate():
+    assert pba.block_attention_eligible((8, 16), (4, 8), (0, 0), 3, 24)
+    assert pba.block_attention_eligible((64, 128), (16, 16), (8, 8), 12, 1056)
+    # heads don't divide
+    assert not pba.block_attention_eligible((8, 16), (4, 8), (0, 0), 5, 24)
+    # window cols not sublane-aligned with >1 window column
+    assert not pba.block_attention_eligible((8, 16), (4, 4), (0, 0), 3, 24)
+    # width shift not 8-aligned
+    assert not pba.block_attention_eligible((64, 128), (16, 16), (8, 4), 12, 1056)
+
+
+@pytest.mark.parametrize("shift", [(0, 0), (2, 8)])
+def test_forward_matches_reference(shift):
+    qkv, scale = _inputs()
+    out_p = pba.fused_block_attention(qkv, scale, HEADS, WIN, shift)
+    out_r = pba.reference_block_attention(qkv, scale, HEADS, WIN, shift)
+    np.testing.assert_allclose(
+        np.asarray(out_p), np.asarray(out_r), rtol=2e-5, atol=2e-5
+    )
+
+
+@pytest.mark.parametrize("shift", [(0, 0), (2, 8)])
+def test_backward_matches_reference(shift):
+    qkv, scale = _inputs(1)
+
+    def loss_p(qkv, s):
+        return jnp.sum(pba.fused_block_attention(qkv, s, HEADS, WIN, shift) ** 2)
+
+    def loss_r(qkv, s):
+        return jnp.sum(pba.reference_block_attention(qkv, s, HEADS, WIN, shift) ** 2)
+
+    gp = jax.grad(loss_p, argnums=(0, 1))(qkv, scale)
+    gr = jax.grad(loss_r, argnums=(0, 1))(qkv, scale)
+    for a, b, name in zip(gp, gr, ["dqkv", "dscale"]):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=2e-4, atol=2e-4,
+            err_msg=f"mismatch in {name}",
+        )
+
+
+def test_swinv2_block_kernel_consistency():
+    """SwinV2 with the block kernel (interpreted) == the jnp path, on a
+    config whose shapes are block-kernel eligible (window cols == grid
+    cols; row-only shift)."""
+    from swift_tpu.models.swinv2 import SwinV2
+
+    kw = dict(
+        img_resolution=(16, 16), in_channels=4, out_channels=2,
+        window_size=(4, 8), shift_size=(2, 8), patch_size=(2, 2),
+        depth=2, dim=24, heads=3, dtype=jnp.float32,
+    )
+    x = jax.random.normal(jax.random.PRNGKey(0), (2, 16, 16, 4))
+    t = jnp.array([0.5, 0.25])
+    m_ref = SwinV2(use_pallas=False, **kw)
+    params = m_ref.init(jax.random.PRNGKey(1), x, t)["params"]
+    params = jax.tree_util.tree_map(
+        lambda a: a + 0.01 * jnp.ones_like(a), params
+    )
+    y_ref = m_ref.apply({"params": params}, x, t)
+    m_pal = SwinV2(use_pallas=True, **kw)
+    # the eligible path must actually be taken for this config
+    assert pba.block_attention_eligible((8, 8), (4, 8), (2, 8), 3, 24)
+    y_pal = m_pal.apply({"params": params}, x, t)
+    np.testing.assert_allclose(
+        np.asarray(y_pal), np.asarray(y_ref), rtol=2e-4, atol=2e-4
+    )
+
+
+def test_swinv2_block_kernel_grad_consistency():
+    """Gradients through the block kernel's custom_vjp == the jnp path."""
+    from swift_tpu.models.swinv2 import SwinV2
+
+    kw = dict(
+        img_resolution=(16, 16), in_channels=4, out_channels=2,
+        window_size=(4, 8), shift_size=(2, 8), patch_size=(2, 2),
+        depth=2, dim=24, heads=3, dtype=jnp.float32,
+    )
+    x = jax.random.normal(jax.random.PRNGKey(0), (2, 16, 16, 4))
+    t = jnp.array([0.5, 0.25])
+    m_ref = SwinV2(use_pallas=False, **kw)
+    params = m_ref.init(jax.random.PRNGKey(1), x, t)["params"]
+    params = jax.tree_util.tree_map(
+        lambda a: a + 0.01 * jnp.ones_like(a), params
+    )
+
+    def loss(m):
+        def f(p):
+            return jnp.sum(m.apply({"params": p}, x, t) ** 2)
+        return f
+
+    g_ref = jax.grad(loss(m_ref))(params)
+    g_pal = jax.grad(loss(SwinV2(use_pallas=True, **kw)))(params)
+
+    def check(path, a, b):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=5e-3, atol=1e-5,
+            err_msg=f"grad mismatch at {jax.tree_util.keystr(path)}",
+        )
+
+    jax.tree_util.tree_map_with_path(check, g_pal, g_ref)
+
+
+def test_shard_mapped_block_attention_matches():
+    """TP composition: batch over data, head chunks over model."""
+    from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+    qkv, scale = _inputs(3)
+    # heads=3 doesn't divide model=2 -> shard batch only; then a (1, 3)
+    # mesh wouldn't test heads. Use a heads-divisible variant.
+    heads, d = 4, 8
+    qkv = jax.random.normal(jax.random.PRNGKey(7), (B * 2, GH, GW, heads * 3 * d))
+    scale = jnp.exp(jax.random.normal(jax.random.PRNGKey(8), (heads,)) * 0.1)
+    mesh = Mesh(np.array(jax.devices()).reshape(4, 2), ("data", "model"))
+    out_plain = pba.fused_block_attention(qkv, scale, heads, WIN, (0, 0))
+    qs = jax.device_put(qkv, NamedSharding(mesh, P("data", None, None, "model")))
+    out_tp = jax.jit(
+        lambda a: pba.sharded_block_attention(
+            a, scale, heads, WIN, (0, 0),
+            mesh=mesh, data_axis="data", model_axis="model",
+        )
+    )(qs)
+    np.testing.assert_allclose(
+        np.asarray(out_tp), np.asarray(out_plain), rtol=2e-5, atol=2e-5
+    )
