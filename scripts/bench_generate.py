@@ -27,19 +27,25 @@ sys.path.insert(0, REPO)
 CACHE = os.path.join(REPO, ".cache", "bench_gen")
 
 
-def setup(n_test: int = 72):
-    """Synthetic 1.4°-shaped dataset + flagship run dir (idempotent)."""
+def setup(n_test: int = 72, n_train: int = 48):
+    """Synthetic 1.4°-shaped dataset + flagship run dir (idempotent).
+
+    n_train must exceed the 24h-interval lookahead (4 steps) for the train
+    split to be non-empty; 48 gives bench_train.py some sample variety."""
     from swift_tpu import config as cfglib
     from swift_tpu.data.constants import FORCING_VARS, default_variables_69
     from swift_tpu.data.synthetic import make_synthetic_era5
 
     root = os.path.join(CACHE, "data")
-    marker = os.path.join(root, "test", f"2000_{n_test - 1:04d}.h5")
-    if not os.path.exists(marker):
+    markers = [
+        os.path.join(root, "test", f"2000_{n_test - 1:04d}.h5"),
+        os.path.join(root, "train", f"2000_{n_train - 1:04d}.h5"),
+    ]
+    if not all(os.path.exists(m) for m in markers):
         print(f"building synthetic 128x256 dataset at {root} ...", flush=True)
         make_synthetic_era5(
             root, default_variables_69(), list(FORCING_VARS),
-            n_train=2, n_val=2, n_test=n_test, shape=(128, 256),
+            n_train=n_train, n_val=8, n_test=n_test, shape=(128, 256),
         )
 
     run_dir = os.path.join(CACHE, "run")

@@ -280,7 +280,6 @@ class WindowAttention(nn.Module):
 
         if (
             use_pallas
-            and not jvp
             and block_attention_eligible(
                 (gh, gw), (wh, ww), (sh, sw), self.heads, inner
             )
@@ -299,7 +298,7 @@ class WindowAttention(nn.Module):
             out = sharded_block_attention(
                 qkv, logit_scale, self.heads, (wh, ww), (sh, sw),
                 mesh=self.mesh, data_axis=self.data_axis,
-                model_axis=self.model_axis,
+                model_axis=self.model_axis, jvp=jvp,
             ).astype(self.dtype)
             # stay in the padded (heads·dp) layout: wo's rows get the same
             # zero padding, so the slice back to heads·d never materializes
@@ -481,6 +480,11 @@ class SwinV2(nn.Module):
     dtype: Dtype = jnp.bfloat16
     use_pallas: Optional[bool] = None  # None = auto (pallas on TPU only)
     scan_layers: bool = True  # nn.scan over block pairs (even depth only)
+    # rematerialize each block pair in the backward pass: the flagship sCM
+    # step at a realistic batch keeps ~46 GB of activations without it (a
+    # v5e has 16 GB HBM). Saves only the 6 pair boundaries; inference and
+    # forward-only jits are unaffected (checkpoint is identity in primal).
+    remat_layers: bool = True
     # Tensor parallelism (set all three to enable): activation sharding
     # constraints over a (data_axis, model_axis) mesh matching the param
     # shardings in swift_tpu.parallel.sharding — without these hints XLA's
@@ -553,8 +557,15 @@ class SwinV2(nn.Module):
         mlp_dim = int(8 / 3.0 * self.dim)
         sh, sw = _as_2tuple(self.shift_size)
         if self.scan_layers and self.depth % 2 == 0:
+            body = SwinBlockPair
+            if self.remat_layers and not jvp:
+                # prevent_cse=False is safe (and faster) under scan. The
+                # jvp-flagged forward skips remat: its output is
+                # stop_gradient'ed by the sCM loss (nothing to recompute in
+                # any backward) and jvp-of-checkpoint blows up trace size.
+                body = nn.remat(SwinBlockPair, prevent_cse=False)
             ScannedPairs = nn.scan(
-                SwinBlockPair,
+                body,
                 variable_axes={"params": 0},
                 split_rngs={"params": True},
                 length=self.depth // 2,

@@ -193,7 +193,8 @@ def _bwd_kernel(
     if sh or sw:
         dqkv = _roll2(dqkv, sh, sw)
     dqkv_ref[0] = dqkv
-    dsp_ref[0, 0, 0, 0] = ds_total
+    # Mosaic can't store scalars to VMEM; write the (1,1,1,1) block whole.
+    dsp_ref[...] = jnp.broadcast_to(ds_total, (1, 1, 1, 1))
 
 
 def _specs(B, gh, gw, heads, d):
@@ -296,11 +297,137 @@ def _fba_bwd(heads, window_size, shift, res, dout):
 _fba_padded.defvjp(_fba_fwd, _fba_bwd)
 
 
+def _tangent_kernel(
+    q_ref, k_ref, v_ref, dq_ref, dk_ref, dv_ref, s_ref, do_ref,
+    *, wh, ww, sh, sw
+):
+    """Fused forward-mode tangent in the block layout: normalize-JVP +
+    softmax-JVP + PV-JVP per window, all in VMEM (the sCM tangent term,
+    reference loss.py:212-220). The logit scale carries no tangent (the sCM
+    jvp differentiates w.r.t. x and t only)."""
+    s = s_ref[0, 0, 0, 0]
+    q, k, v = q_ref[0], k_ref[0], v_ref[0]
+    dq, dk, dv = dq_ref[0], dk_ref[0], dv_ref[0]
+    if sh or sw:
+        q, k, v, dq, dk, dv = (
+            _roll2(a, -sh, -sw) for a in (q, k, v, dq, dk, dv)
+        )
+    gh, gw, d = q.shape
+    mm = jnp.bfloat16 if do_ref.dtype == jnp.bfloat16 else jnp.float32
+    rows = []
+    for i in range(gh // wh):
+        tiles = []
+        for j in range(gw // ww):
+            sl = (slice(i * wh, (i + 1) * wh), slice(j * ww, (j + 1) * ww))
+            n = wh * ww
+            qf = q[sl].reshape(n, d).astype(jnp.float32)
+            kf = k[sl].reshape(n, d).astype(jnp.float32)
+            vw = v[sl].reshape(n, d)
+            dqf = dq[sl].reshape(n, d).astype(jnp.float32)
+            dkf = dk[sl].reshape(n, d).astype(jnp.float32)
+            dvw = dv[sl].reshape(n, d)
+
+            rq = jax.lax.rsqrt(jnp.sum(qf * qf, -1, keepdims=True) + _EPS)
+            rk = jax.lax.rsqrt(jnp.sum(kf * kf, -1, keepdims=True) + _EPS)
+            qh = qf * rq
+            kh = kf * rk
+            # normalize JVP: d(q/|q|) = (dq - q̂ (q̂·dq)) / |q|
+            dqh = (dqf - qh * jnp.sum(qh * dqf, -1, keepdims=True)) * rq
+            dkh = (dkf - kh * jnp.sum(kh * dkf, -1, keepdims=True)) * rk
+            qn, dqn = qh * s, dqh * s
+
+            logits = jax.lax.dot_general(
+                qn.astype(mm), kh.astype(mm), (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            m = jnp.max(logits, -1, keepdims=True)
+            e = jnp.exp(logits - m)
+            p = e / jnp.sum(e, -1, keepdims=True)
+            dS = (
+                jax.lax.dot_general(
+                    dqn.astype(mm), kh.astype(mm), (((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )
+                + jax.lax.dot_general(
+                    qn.astype(mm), dkh.astype(mm), (((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )
+            )
+            dp = p * (dS - jnp.sum(p * dS, -1, keepdims=True))
+            dout = (
+                jnp.dot(dp.astype(mm), vw.astype(mm),
+                        preferred_element_type=jnp.float32)
+                + jnp.dot(p.astype(mm), dvw.astype(mm),
+                          preferred_element_type=jnp.float32)
+            )
+            tiles.append(dout.astype(do_ref.dtype).reshape(wh, ww, d))
+        rows.append(jnp.concatenate(tiles, axis=1) if len(tiles) > 1 else tiles[0])
+    dout_full = jnp.concatenate(rows, axis=0) if len(rows) > 1 else rows[0]
+    if sh or sw:
+        dout_full = _roll2(dout_full, sh, sw)
+    do_ref[0] = dout_full
+
+
+def _tangent_call(qkv, dqkv, scale, heads, window_size, shift):
+    B, gh, gw, feat = qkv.shape
+    d = feat // (3 * heads)
+    wh, ww = window_size
+    sh, sw = shift
+    n = wh * ww
+    nW = (gh // wh) * (gw // ww)
+    kern = functools.partial(_tangent_kernel, wh=wh, ww=ww, sh=sh, sw=sw)
+    specs = _specs(B, gh, gw, heads, d)
+    in_specs = specs[:3] + specs[:3] + [specs[3]]
+    return pl.pallas_call(
+        kern,
+        grid=(B, heads),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec(
+            (1, gh, gw, d), lambda b, h: (b, 0, 0, h), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((B, gh, gw, heads * d), qkv.dtype),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * B * heads * nW * (5 * n * n * d),
+            bytes_accessed=7 * B * gh * gw * heads * d * qkv.dtype.itemsize,
+            transcendentals=B * heads * nW * n * n,
+        ),
+    )(qkv, qkv, qkv, dqkv, dqkv, dqkv,
+      scale.reshape(1, heads, 1, 1).astype(jnp.float32))
+
+
+@functools.partial(jax.custom_jvp, nondiff_argnums=(2, 3, 4))
+def _fba_jvp_capable(qkv, scale, heads, window_size, shift):
+    """Same fused primal as ``_fba_padded`` but with a forward-mode rule
+    (the sCM tangent path). The tangent kernel has no AD rules of its own,
+    so its inputs are stop_gradient'ed: an outer reverse-mode linearization
+    sees symbolic-zero tangents and short-circuits — exact for the sCM loss,
+    which stop_gradients the jvp output before use (loss.py:259-260)."""
+    return _fwd_call(qkv, scale, heads, window_size, shift)
+
+
+@_fba_jvp_capable.defjvp
+def _fba_jvp_rule(heads, window_size, shift, primals, tangents):
+    qkv, scale = primals
+    dqkv, _ = tangents
+    o = _fba_padded(qkv, scale, heads, window_size, shift)
+    do = _tangent_call(
+        jax.lax.stop_gradient(qkv),
+        jax.lax.stop_gradient(dqkv),
+        jax.lax.stop_gradient(scale),
+        heads, window_size, shift,
+    )
+    return o, do
+
+
 def _padded_dim(d: int) -> int:
     return d if d % 128 == 0 else (d // 128 + 1) * 128
 
 
-def fused_block_attention(qkv, scale, heads, window_size, shift=(0, 0)):
+def fused_block_attention(qkv, scale, heads, window_size, shift=(0, 0),
+                          jvp=False):
     """Swin window attention straight from the qkv projection's layout.
 
     qkv: (B, gh, gw, heads·3·d), per-head [q|k|v] interleave (the reference
@@ -316,6 +443,10 @@ def fused_block_attention(qkv, scale, heads, window_size, shift=(0, 0)):
     QK^T, or PV), so no masking is needed; the pad/slice cost one cheap XLA
     copy each vs the ~10x larger layout passes this kernel eliminates.
 
+    ``jvp=True`` selects the forward-mode-capable variant: the primal still
+    rides the fused kernel (with a reverse-mode rule), and the tangent runs
+    as its own fused kernel (the sCM path; see _fba_jvp_capable).
+
     Returns (B, gh, gw, heads·d) in qkv.dtype, head-major features.
     """
     B, gh, gw, feat = qkv.shape
@@ -325,7 +456,8 @@ def fused_block_attention(qkv, scale, heads, window_size, shift=(0, 0)):
         q5 = qkv.reshape(B, gh, gw, 3 * heads, d)
         q5 = jnp.pad(q5, ((0, 0),) * 4 + ((0, dp - d),))
         qkv = q5.reshape(B, gh, gw, 3 * heads * dp)
-    out = _fba_padded(qkv, scale, heads, window_size, shift)
+    fn = _fba_jvp_capable if jvp else _fba_padded
+    out = fn(qkv, scale, heads, window_size, shift)
     if dp != d:
         out = out.reshape(B, gh, gw, heads, dp)[..., :d]
         out = out.reshape(B, gh, gw, heads * d)
@@ -334,7 +466,7 @@ def fused_block_attention(qkv, scale, heads, window_size, shift=(0, 0)):
 
 def sharded_block_attention(
     qkv, scale, heads, window_size, shift=(0, 0),
-    mesh=None, data_axis=None, model_axis=None,
+    mesh=None, data_axis=None, model_axis=None, jvp=False,
 ):
     """fused_block_attention, shard_map'd over a (data, model) mesh.
 
@@ -344,7 +476,8 @@ def sharded_block_attention(
     cross-shard communication. Axes that don't divide stay unsharded.
     """
     if mesh is None:
-        return fused_block_attention(qkv, scale, heads, window_size, shift)
+        return fused_block_attention(qkv, scale, heads, window_size, shift,
+                                     jvp=jvp)
 
     B = qkv.shape[0]
 
@@ -359,7 +492,8 @@ def sharded_block_attention(
     b_ax = data_axis if usable(data_axis, B) else None
     h_ax = model_axis if usable(model_axis, heads) else None
     if not (b_ax or h_ax):
-        return fused_block_attention(qkv, scale, heads, window_size, shift)
+        return fused_block_attention(qkv, scale, heads, window_size, shift,
+                                     jvp=jvp)
 
     from jax import shard_map
     from jax.sharding import PartitionSpec as P
@@ -368,7 +502,7 @@ def sharded_block_attention(
 
     def f(qkv_l, scale_l):
         return fused_block_attention(
-            qkv_l, scale_l, local_heads, window_size, shift
+            qkv_l, scale_l, local_heads, window_size, shift, jvp=jvp
         )
 
     return shard_map(

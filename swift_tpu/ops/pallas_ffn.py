@@ -53,6 +53,11 @@ def _ffn_call(x2, wg, wu, w2):
     return pl.pallas_call(
         _ffn_kernel,
         grid=grid,
+        # VMEM-resident weights (~18 MB) + double-buffered token tiles
+        # exceed some programs' default scoped-vmem limit.
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
         in_specs=[
             pl.BlockSpec((bt, D), lambda i: (i, 0), memory_space=pltpu.VMEM),
             # weight blocks: index maps constant in i -> fetched once,

@@ -19,6 +19,8 @@ the win here is the forward/inference path).
 
 from __future__ import annotations
 
+import functools
+
 import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
@@ -64,8 +66,6 @@ def _call(y2, r2, g, b, msc, msh, eps, tokens_per_sample):
         # (B, 1, D) so the block's last two dims equal the array dims
         return pl.BlockSpec((1, 1, D), lambda i: (i // per, 0, 0),
                             memory_space=pltpu.VMEM)
-
-    import functools
 
     return pl.pallas_call(
         functools.partial(_kernel, eps=eps),
@@ -136,9 +136,6 @@ def sharded_modnorm_residual(y, residual, g, b, mod_scale, mod_shift,
         in_specs=(bspec, bspec, vspec, vspec, mspec, mspec),
         out_specs=bspec, check_vma=False,
     )(y, residual, g, b, mod_scale, mod_shift)
-
-
-import functools
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(6, 7))

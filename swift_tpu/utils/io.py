@@ -133,10 +133,14 @@ def create_forecast_zarr(
             if not has_levels
             else (n, members, steps + 1, len(levels), n_lat, n_lon)
         )
+        # one chunk per (ic-batch, member, lead): segment writes are always
+        # whole chunks (no read-modify-write of a 200 MB lead-spanning chunk
+        # per 10-step segment — measured 100x slower), and eval walks lead
+        # times, so per-lead chunks are also the read-friendly layout.
         chunks = (
-            (batch, 1, steps + 1, n_lat, n_lon)
+            (batch, 1, 1, n_lat, n_lon)
             if not has_levels
-            else (batch, 1, steps + 1, len(levels), n_lat, n_lon)
+            else (batch, 1, 1, len(levels), n_lat, n_lon)
         )
         dims = (
             ["time", "number", "prediction_timedelta", "latitude", "longitude"]

@@ -113,6 +113,7 @@ class ZarrArray:
             range(a // c, (b - 1) // c + 1) if b > a else range(0)
             for (a, b), c in zip(bounds, self.chunks)
         ]
+        jobs = []
         for idx in np.ndindex(*[len(r) for r in ranges]):
             cidx = [ranges[d][i] for d, i in enumerate(idx)]
             c0 = [ci * c for ci, c in zip(cidx, self.chunks)]
@@ -132,12 +133,28 @@ class ZarrArray:
                 (hi - lo) == c and lo == o
                 for (lo, hi), o, c in zip(inter, c0, self.chunks)
             )
+            jobs.append((tuple(cidx), chunk_sel, val_sel, full))
+
+        def run(job):
+            cidx, chunk_sel, val_sel, full = job
             if full:
                 self._write_chunk(cidx, value[val_sel])
             else:
                 chunk = self._read_chunk(cidx)
                 chunk[chunk_sel] = value[val_sel]
                 self._write_chunk(cidx, chunk)
+
+        # zlib.compress/decompress and file IO release the GIL — fan the
+        # per-chunk work over threads (chunks within one assignment are
+        # disjoint by construction).
+        if len(jobs) > 1:
+            from concurrent.futures import ThreadPoolExecutor
+
+            with ThreadPoolExecutor(max_workers=min(8, len(jobs))) as ex:
+                list(ex.map(run, jobs))
+        else:
+            for job in jobs:
+                run(job)
 
     def __getitem__(self, sel: Selection) -> np.ndarray:
         bounds = self._normalize(sel)
@@ -204,6 +221,13 @@ class ZarrGroup:
         data: Optional[np.ndarray] = None,
     ) -> ZarrArray:
         adir = self.path / name
+        if adir.exists():
+            # re-creating an array must not leave stale chunk files from a
+            # previous shape/chunking behind (readers bound by .zarray would
+            # ignore them, but they silently bloat the store).
+            import shutil
+
+            shutil.rmtree(adir)
         adir.mkdir(parents=True, exist_ok=True)
         dt = np.dtype(dtype)
         meta = {

@@ -141,6 +141,79 @@ def test_swinv2_block_kernel_grad_consistency():
     jax.tree_util.tree_map_with_path(check, g_pal, g_ref)
 
 
+@pytest.mark.parametrize("shift", [(0, 0), (2, 8)])
+def test_jvp_variant_matches_reference(shift):
+    """jax.jvp through the jvp-capable block kernel == jvp through the jnp
+    reference (the sCM tangent computation, block layout)."""
+    qkv, scale = _inputs(5)
+    tqkv = jax.random.normal(jax.random.PRNGKey(11), qkv.shape)
+
+    def f_pallas(qkv):
+        return pba.fused_block_attention(qkv, scale, HEADS, WIN, shift,
+                                         jvp=True)
+
+    def f_ref(qkv):
+        return pba.reference_block_attention(qkv, scale, HEADS, WIN, shift)
+
+    op, dop = jax.jvp(f_pallas, (qkv,), (tqkv,))
+    orf, dorf = jax.jvp(f_ref, (qkv,), (tqkv,))
+    np.testing.assert_allclose(np.asarray(op), np.asarray(orf),
+                               rtol=2e-5, atol=2e-5)
+    np.testing.assert_allclose(np.asarray(dop), np.asarray(dorf),
+                               rtol=2e-4, atol=2e-4)
+
+
+def test_scm_value_and_grad_through_block_jvp():
+    """Full sCM loss (jax.jvp inside value_and_grad) through a
+    block-kernel-eligible model matches the jnp path — guards both the
+    custom_jvp rule and the stop_gradient structure under the outer grad."""
+    from swift_tpu.models.precond import PassPrecond
+    from swift_tpu.models.swinv2 import SwinV2
+    from swift_tpu.training.loss import SCMLoss
+
+    Hh, Ww, C = 16, 16, 3
+    kw = dict(
+        img_resolution=(Hh, Ww), in_channels=2 * C, out_channels=C,
+        window_size=(4, 8), shift_size=(2, 8), patch_size=(2, 2),
+        depth=2, dim=24, heads=3, auxiliary_dim=1, logvar=True,
+        dtype=jnp.float32,
+    )
+    x = jax.random.normal(jax.random.PRNGKey(1), (2, Hh, Ww, C))
+    cond = jax.random.normal(jax.random.PRNGKey(2), (2, Hh, Ww, C))
+
+    def build(use_pallas):
+        model = SwinV2(use_pallas=use_pallas, **kw)
+        p = PassPrecond(model=model, img_resolution=(Hh, Ww), img_channels=C,
+                        condition_channels=C, auxiliary_dim=1, sigma_data=1.0)
+        loss = SCMLoss(
+            precond=p, lat_dim=Hh,
+            variables=("2m_temperature", "geopotential_500",
+                       "temperature_850"),
+            noise={"dist": "loguniform", "sigma_min": 0.02,
+                   "sigma_max": 200.0},
+            tangent_warmup_kimg=1,
+        )
+        return p, loss
+
+    p_ref, loss_ref = build(False)
+    params = p_ref.init(jax.random.PRNGKey(0))
+
+    def f(loss):
+        return lambda params: loss(
+            params, jax.random.PRNGKey(3), x, step=100.0, condition=cond,
+            auxiliary=jnp.full((2, 1), 0.6),
+        )
+
+    _, loss_pal = build(True)
+    val_p, grads_p = jax.value_and_grad(f(loss_pal))(params)
+    val_r, grads_r = jax.value_and_grad(f(loss_ref))(params)
+    np.testing.assert_allclose(float(val_p), float(val_r), rtol=1e-3)
+    for a, b in zip(jax.tree_util.tree_leaves(grads_p),
+                    jax.tree_util.tree_leaves(grads_r)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=5e-2, atol=5e-3)
+
+
 def test_shard_mapped_block_attention_matches():
     """TP composition: batch over data, head chunks over model."""
     from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
