@@ -40,17 +40,15 @@ def main():
     )
 
     print("init params...", flush=True)
-    host = jax.devices("cpu")[0] if jax.default_backend() != "cpu" else None
-    params = jax.jit(lambda k: pre.init(k), backend="cpu")(jax.random.PRNGKey(0))
-    params = jax.device_put(
-        jax.tree_util.tree_map(np.asarray, params), jax.devices()[0]
+    rng = np.random.default_rng(0)
+    shapes = jax.eval_shape(lambda: pre.init(jax.random.PRNGKey(0)))
+    params = jax.tree_util.tree_map(
+        lambda s: (0.02 * rng.standard_normal(s.shape)).astype(s.dtype),
+        shapes,
     )
-    opt_state = jax.jit(optimizer.init, backend="cpu")(
-        jax.eval_shape(lambda: params)
-    )
-    opt_state = jax.device_put(
-        jax.tree_util.tree_map(np.asarray, opt_state), jax.devices()[0]
-    )
+    params = jax.device_put(params, jax.devices()[0])
+    opt_state = jax.jit(optimizer.init)(params)
+    jax.block_until_ready(opt_state)
 
     @jax.jit
     def step(p, o, key, x, cond, aux, nimg):

@@ -70,16 +70,42 @@ def block_attention_eligible(
     return True
 
 
-def _roll2(x, r0: int, r1: int):
-    """jnp.roll on the two leading dims of a (gh, gw, d) VMEM tile via
-    slice+concat (r1 acts on the sublane dim — callers keep it 8-aligned)."""
-    g0, g1 = x.shape[0], x.shape[1]
-    s0, s1 = (-r0) % g0, (-r1) % g1
-    if s0:
-        x = jnp.concatenate([x[s0:], x[:s0]], axis=0)
-    if s1:
-        x = jnp.concatenate([x[:, s1:], x[:, :s1]], axis=1)
-    return x
+def _wrap_pieces(start: int, size: int, dim: int):
+    """Static (offset, length) pieces of a wrapped [start, start+size) range."""
+    s = start % dim
+    if s + size <= dim:
+        return [(s, size)]
+    return [(s, dim - s), (0, size - (dim - s))]
+
+
+def _gather_window(t, i0: int, j0: int, wh: int, ww: int):
+    """Read a (wh, ww, d) window starting at wrapped coords (i0, j0) of a
+    (gh, gw, d) tile. Non-wrapping windows (all but the last row/col under a
+    half-window shift) are a single static slice — much cheaper than rolling
+    the whole tile and slicing (the r2.0 kernel's relayout hotspot)."""
+    rp = _wrap_pieces(i0, wh, t.shape[0])
+    cp = _wrap_pieces(j0, ww, t.shape[1])
+    rows = []
+    for (a, n) in rp:
+        if len(cp) == 1:
+            b, m = cp[0]
+            rows.append(t[a:a + n, b:b + m])
+        else:
+            rows.append(jnp.concatenate(
+                [t[a:a + n, b:b + m] for (b, m) in cp], axis=1))
+    return rows[0] if len(rp) == 1 else jnp.concatenate(rows, axis=0)
+
+
+def _scatter_window(o_ref, val, i0: int, j0: int):
+    """Write a (wh, ww, d) window to wrapped coords of o_ref[0]."""
+    wh, ww = val.shape[0], val.shape[1]
+    gh = o_ref.shape[1]
+    gw = o_ref.shape[2]
+    for (a, n) in _wrap_pieces(i0, wh, gh):
+        ra = (a - i0) % gh
+        for (b, m) in _wrap_pieces(j0, ww, gw):
+            cb = (b - j0) % gw
+            o_ref[0, a:a + n, b:b + m, :] = val[ra:ra + n, cb:cb + m]
 
 
 def _window_attn_fwd(qw, kw, vw, s, mm_dtype):
@@ -105,25 +131,22 @@ def _window_attn_fwd(qw, kw, vw, s, mm_dtype):
 def _fwd_kernel(q_ref, k_ref, v_ref, s_ref, o_ref, *, wh, ww, sh, sw):
     s = s_ref[0, 0, 0, 0]
     q, k, v = q_ref[0], k_ref[0], v_ref[0]  # (gh, gw, d)
-    if sh or sw:
-        q, k, v = (_roll2(a, -sh, -sw) for a in (q, k, v))
     gh, gw, d = q.shape
     mm = jnp.bfloat16 if o_ref.dtype == jnp.bfloat16 else o_ref.dtype
-    rows = []
+    # shifted-window attention on the torus == attention on windows whose
+    # origin is offset by (sh, sw): read/write each window at its wrapped
+    # coordinates instead of rolling whole tiles (only the wrap-around
+    # row/column windows pay a concat).
     for i in range(gh // wh):
-        tiles = []
         for j in range(gw // ww):
-            sl = (slice(i * wh, (i + 1) * wh), slice(j * ww, (j + 1) * ww))
-            qw = q[sl].reshape(wh * ww, d)
-            kw = k[sl].reshape(wh * ww, d)
-            vw = v[sl].reshape(wh * ww, d)
+            i0, j0 = (i * wh + sh) % gh, (j * ww + sw) % gw
+            qw = _gather_window(q, i0, j0, wh, ww).reshape(wh * ww, d)
+            kw = _gather_window(k, i0, j0, wh, ww).reshape(wh * ww, d)
+            vw = _gather_window(v, i0, j0, wh, ww).reshape(wh * ww, d)
             o = _window_attn_fwd(qw, kw, vw, s, mm)
-            tiles.append(o.reshape(wh, ww, d))
-        rows.append(jnp.concatenate(tiles, axis=1) if len(tiles) > 1 else tiles[0])
-    out = jnp.concatenate(rows, axis=0) if len(rows) > 1 else rows[0]
-    if sh or sw:
-        out = _roll2(out, sh, sw)
-    o_ref[0] = out.astype(o_ref.dtype)
+            _scatter_window(
+                o_ref, o.astype(o_ref.dtype).reshape(wh, ww, d), i0, j0
+            )
 
 
 def _bwd_kernel(
@@ -132,21 +155,17 @@ def _bwd_kernel(
     s = s_ref[0, 0, 0, 0]
     q, k, v = q_ref[0], k_ref[0], v_ref[0]
     do = do_ref[0]
-    if sh or sw:
-        q, k, v, do = (_roll2(a, -sh, -sw) for a in (q, k, v, do))
     gh, gw, d = q.shape
     mm = jnp.bfloat16 if do_ref.dtype == jnp.bfloat16 else jnp.float32
     ds_total = jnp.zeros((), jnp.float32)
-    rows = []
     for i in range(gh // wh):
-        tiles = []
         for j in range(gw // ww):
-            sl = (slice(i * wh, (i + 1) * wh), slice(j * ww, (j + 1) * ww))
+            i0, j0 = (i * wh + sh) % gh, (j * ww + sw) % gw
             n = wh * ww
-            qf = q[sl].reshape(n, d).astype(jnp.float32)
-            kf = k[sl].reshape(n, d).astype(jnp.float32)
-            vw = v[sl].reshape(n, d)
-            dow = do[sl].reshape(n, d).astype(jnp.float32)
+            qf = _gather_window(q, i0, j0, wh, ww).reshape(n, d).astype(jnp.float32)
+            kf = _gather_window(k, i0, j0, wh, ww).reshape(n, d).astype(jnp.float32)
+            vw = _gather_window(v, i0, j0, wh, ww).reshape(n, d)
+            dow = _gather_window(do, i0, j0, wh, ww).reshape(n, d).astype(jnp.float32)
 
             rq = jax.lax.rsqrt(jnp.sum(qf * qf, -1, keepdims=True) + _EPS)
             rk = jax.lax.rsqrt(jnp.sum(kf * kf, -1, keepdims=True) + _EPS)
@@ -187,12 +206,7 @@ def _bwd_kernel(
                  dv.astype(dqkv_ref.dtype).reshape(wh, ww, d)],
                 axis=-1,
             )
-            tiles.append(tile)
-        rows.append(jnp.concatenate(tiles, axis=1) if len(tiles) > 1 else tiles[0])
-    dqkv = jnp.concatenate(rows, axis=0) if len(rows) > 1 else rows[0]
-    if sh or sw:
-        dqkv = _roll2(dqkv, sh, sw)
-    dqkv_ref[0] = dqkv
+            _scatter_window(dqkv_ref, tile, i0, j0)
     # Mosaic can't store scalars to VMEM; write the (1,1,1,1) block whole.
     dsp_ref[...] = jnp.broadcast_to(ds_total, (1, 1, 1, 1))
 
@@ -308,24 +322,18 @@ def _tangent_kernel(
     s = s_ref[0, 0, 0, 0]
     q, k, v = q_ref[0], k_ref[0], v_ref[0]
     dq, dk, dv = dq_ref[0], dk_ref[0], dv_ref[0]
-    if sh or sw:
-        q, k, v, dq, dk, dv = (
-            _roll2(a, -sh, -sw) for a in (q, k, v, dq, dk, dv)
-        )
     gh, gw, d = q.shape
     mm = jnp.bfloat16 if do_ref.dtype == jnp.bfloat16 else jnp.float32
-    rows = []
     for i in range(gh // wh):
-        tiles = []
         for j in range(gw // ww):
-            sl = (slice(i * wh, (i + 1) * wh), slice(j * ww, (j + 1) * ww))
+            i0, j0 = (i * wh + sh) % gh, (j * ww + sw) % gw
             n = wh * ww
-            qf = q[sl].reshape(n, d).astype(jnp.float32)
-            kf = k[sl].reshape(n, d).astype(jnp.float32)
-            vw = v[sl].reshape(n, d)
-            dqf = dq[sl].reshape(n, d).astype(jnp.float32)
-            dkf = dk[sl].reshape(n, d).astype(jnp.float32)
-            dvw = dv[sl].reshape(n, d)
+            qf = _gather_window(q, i0, j0, wh, ww).reshape(n, d).astype(jnp.float32)
+            kf = _gather_window(k, i0, j0, wh, ww).reshape(n, d).astype(jnp.float32)
+            vw = _gather_window(v, i0, j0, wh, ww).reshape(n, d)
+            dqf = _gather_window(dq, i0, j0, wh, ww).reshape(n, d).astype(jnp.float32)
+            dkf = _gather_window(dk, i0, j0, wh, ww).reshape(n, d).astype(jnp.float32)
+            dvw = _gather_window(dv, i0, j0, wh, ww).reshape(n, d)
 
             rq = jax.lax.rsqrt(jnp.sum(qf * qf, -1, keepdims=True) + _EPS)
             rk = jax.lax.rsqrt(jnp.sum(kf * kf, -1, keepdims=True) + _EPS)
@@ -360,12 +368,9 @@ def _tangent_kernel(
                 + jnp.dot(p.astype(mm), dvw.astype(mm),
                           preferred_element_type=jnp.float32)
             )
-            tiles.append(dout.astype(do_ref.dtype).reshape(wh, ww, d))
-        rows.append(jnp.concatenate(tiles, axis=1) if len(tiles) > 1 else tiles[0])
-    dout_full = jnp.concatenate(rows, axis=0) if len(rows) > 1 else rows[0]
-    if sh or sw:
-        dout_full = _roll2(dout_full, sh, sw)
-    do_ref[0] = dout_full
+            _scatter_window(
+                do_ref, dout.astype(do_ref.dtype).reshape(wh, ww, d), i0, j0
+            )
 
 
 def _tangent_call(qkv, dqkv, scale, heads, window_size, shift):
