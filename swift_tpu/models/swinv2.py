@@ -106,11 +106,12 @@ class ModulatedNorm(nn.Module):
     @nn.compact
     def __call__(
         self,
-        x: jnp.ndarray,
+        x: Optional[jnp.ndarray],
         t: jnp.ndarray,
         residual: Optional[jnp.ndarray] = None,
         jvp: bool = False,
-    ) -> jnp.ndarray:
+        pieces: bool = False,
+    ):
         from swift_tpu.ops.pallas_modnorm import (
             reference_modnorm_residual,
             sharded_modnorm_residual,
@@ -125,6 +126,10 @@ class ModulatedNorm(nn.Module):
             name="modulation",
         )(t)
         scale, shift = jnp.split(mod, 2, axis=-1)  # (B, D) each
+        if pieces:
+            # raw (ln_scale, ln_bias, mod_scale, mod_shift) for a producer
+            # kernel that fuses the whole epilogue (x is ignored).
+            return g, b, scale, shift
 
         use_pallas = self.use_pallas
         if use_pallas is None:
@@ -183,31 +188,36 @@ class FeedForward(nn.Module):
         k1 = _KernelParam((x.shape[-1], 2 * self.hidden_dim), name="w1")()
         k2 = _KernelParam((self.hidden_dim, self.dim), name="w2")()
 
-        fused = use_pallas and not jvp and self.mesh is None
-        if fused:
-            from swift_tpu.ops.pallas_ffn import fused_swiglu_ffn
-
-            try:
-                x = fused_swiglu_ffn(x.astype(self.dtype), k1, k2)
-            except ValueError:  # token count doesn't tile -> jnp path
-                fused = False
-        if not fused:
-            gate_up = jnp.dot(x.astype(self.dtype), k1.astype(self.dtype))
-            # column-parallel w1: hidden features live on `model`; gate/up
-            # are contiguous halves so the split keeps the same sharding.
-            gate_up = _wsc(
-                gate_up, self.mesh, self.data_axis, None, self.model_axis
-            )
-            gate, up = jnp.split(gate_up, 2, axis=-1)
-            x = jnp.dot(jax.nn.silu(gate) * up, k2.astype(self.dtype))
-            # row-parallel w2: XLA inserts the psum; output replicated.
-            x = _wsc(x, self.mesh, self.data_axis, None, None)
-        # post-norm + the block's residual add, fused (reference :212)
-        return ModulatedNorm(
+        norm = ModulatedNorm(
             self.dim, dtype=self.dtype, name="norm",
             use_pallas=self.use_pallas, mesh=self.mesh,
             data_axis=self.data_axis,
-        )(x, t, residual=inputs, jvp=jvp)
+        )
+        fused = use_pallas and not jvp and self.mesh is None
+        if fused:
+            # FFN matmul chain fused; the norm+residual epilogue stays a
+            # separate pallas pass — folding it INTO this kernel measured
+            # slower (the VPU epilogue serializes against the MXU matmuls
+            # within one program; standalone it overlaps the next block).
+            from swift_tpu.ops.pallas_ffn import fused_swiglu_ffn
+
+            try:
+                y = fused_swiglu_ffn(x.astype(self.dtype), k1, k2)
+                return norm(y, t, residual=inputs, jvp=jvp)
+            except ValueError:  # token count doesn't tile -> jnp path
+                pass
+        gate_up = jnp.dot(x.astype(self.dtype), k1.astype(self.dtype))
+        # column-parallel w1: hidden features live on `model`; gate/up
+        # are contiguous halves so the split keeps the same sharding.
+        gate_up = _wsc(
+            gate_up, self.mesh, self.data_axis, None, self.model_axis
+        )
+        gate, up = jnp.split(gate_up, 2, axis=-1)
+        x = jnp.dot(jax.nn.silu(gate) * up, k2.astype(self.dtype))
+        # row-parallel w2: XLA inserts the psum; output replicated.
+        x = _wsc(x, self.mesh, self.data_axis, None, None)
+        # post-norm + the block's residual add, fused (reference :212)
+        return norm(x, t, residual=inputs, jvp=jvp)
 
 
 class WindowAttention(nn.Module):
@@ -322,15 +332,30 @@ class WindowAttention(nn.Module):
                 k_wo.reshape(self.heads, self.head_dim, self.dim),
                 ((0, 0), (0, dp - self.head_dim), (0, 0)),
             ).reshape(self.heads * dp, self.dim)
+        norm = ModulatedNorm(
+            self.dim, dtype=self.dtype, name="norm",
+            use_pallas=self.use_pallas, mesh=self.mesh,
+            data_axis=self.data_axis,
+        )
+        if use_pallas and not jvp and self.mesh is None:
+            # wo matmul + post-norm + residual in one kernel (the matmul
+            # output never reaches HBM; reference :211).
+            from swift_tpu.ops.pallas_modnorm import (
+                fused_matmul_modnorm_residual,
+            )
+
+            g_, b_, sc, sh = norm(None, t, pieces=True)
+            try:
+                return fused_matmul_modnorm_residual(
+                    out.astype(self.dtype), k_wo, x, g_, b_, sc, sh
+                )
+            except ValueError:
+                pass
         out = jnp.dot(out.astype(self.dtype), k_wo.astype(self.dtype))
         # row-parallel wo: output replicated over model after XLA's psum.
         out = _wsc(out, self.mesh, self.data_axis, None, None, None)
         # post-norm + the block's residual add, fused (reference :211)
-        return ModulatedNorm(
-            self.dim, dtype=self.dtype, name="norm",
-            use_pallas=self.use_pallas, mesh=self.mesh,
-            data_axis=self.data_axis,
-        )(out, t, residual=x, jvp=jvp)
+        return norm(out, t, residual=x, jvp=jvp)
 
     def _per_head_path(self, qkv, logit_scale, jvp, attn_fn):
         """Classic pipeline: XLA shift/partition/head-split around a

@@ -22,6 +22,9 @@ routes jvp=True through the jnp path, mirroring the attention split.
 
 from __future__ import annotations
 
+import functools
+import math
+
 import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
@@ -40,6 +43,13 @@ def _ffn_kernel(x_ref, wg_ref, wu_ref, w2_ref, o_ref):
 
 def _pick_block(T: int) -> int:
     for bt in (512, 256, 128):
+        if T % bt == 0:
+            return bt
+    return 0
+
+
+def _pick_block_small(T: int) -> int:
+    for bt in (512, 256, 128, 64, 32, 16, 8):
         if T % bt == 0:
             return bt
     return 0
@@ -140,3 +150,112 @@ def reference_swiglu_ffn(x, w1, w2):
     gate_up = jnp.dot(x, w1.astype(x.dtype))
     gate, up = jnp.split(gate_up, 2, axis=-1)
     return jnp.dot(jax.nn.silu(gate) * up, w2.astype(x.dtype))
+
+
+# ---------------------------------------------------------------------------
+# FFN + post-norm epilogue: x + (LN(ffn(x))·g + b)·(1+scale) + shift in one
+# kernel — the FFN output never reaches HBM (the block's residual source IS
+# the FFN input, so the x tile serves both roles).
+
+
+def _ffn_mn_kernel(x_ref, wg_ref, wu_ref, w2_ref, g_ref, b_ref, ms_ref,
+                   mb_ref, o_ref, *, eps):
+    x = x_ref[...]
+    g = jnp.dot(x, wg_ref[...], preferred_element_type=jnp.float32)
+    u = jnp.dot(x, wu_ref[...], preferred_element_type=jnp.float32)
+    h = (jax.nn.silu(g) * u).astype(x.dtype)
+    y = jnp.dot(h, w2_ref[...], preferred_element_type=jnp.float32)
+    mu = jnp.mean(y, -1, keepdims=True)
+    var = jnp.mean(y * y, -1, keepdims=True) - mu * mu
+    yn = (y - mu) * jax.lax.rsqrt(var + eps)
+    ln = yn * g_ref[0].astype(jnp.float32) + b_ref[0].astype(jnp.float32)
+    out = ln * (1.0 + ms_ref[0, 0].astype(jnp.float32)) + mb_ref[0, 0].astype(
+        jnp.float32
+    )
+    o_ref[...] = (out + x.astype(jnp.float32)).astype(o_ref.dtype)
+
+
+def _ffn_mn_call(x2, wg, wu, w2, g, b, msc, msh, eps, tps):
+    T, D = x2.shape
+    H = wg.shape[1]
+    bt = _pick_block_small(math.gcd(T, tps))
+    per = tps // bt
+    tok = lambda: pl.BlockSpec((bt, D), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM)
+    const = lambda s: pl.BlockSpec(s, lambda i: (0,) * len(s),
+                                   memory_space=pltpu.VMEM)
+    mod = lambda: pl.BlockSpec((1, 1, D), lambda i: (i // per, 0, 0),
+                               memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        functools.partial(_ffn_mn_kernel, eps=eps),
+        grid=(T // bt,),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
+        in_specs=[tok(), const((D, H)), const((D, H)), const((H, D)),
+                  const((1, D)), const((1, D)), mod(), mod()],
+        out_specs=tok(),
+        out_shape=jax.ShapeDtypeStruct((T, D), x2.dtype),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * T * D * H * 3 + 10 * T * D,
+            bytes_accessed=(2 * T * D + 3 * D * H) * x2.dtype.itemsize,
+            transcendentals=T * H,
+        ),
+    )(x2, wg, wu, w2, g.reshape(1, D), b.reshape(1, D),
+      msc.reshape(-1, 1, D), msh.reshape(-1, 1, D))
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(8, 9))
+def _fused_swiglu_mn(x2, wg, wu, w2, g, b, msc, msh, eps, tps):
+    return _ffn_mn_call(x2, wg, wu, w2, g, b, msc, msh, eps, tps)
+
+
+def _fused_swiglu_mn_fwd(x2, wg, wu, w2, g, b, msc, msh, eps, tps):
+    out = _ffn_mn_call(x2, wg, wu, w2, g, b, msc, msh, eps, tps)
+    return out, (x2, wg, wu, w2, g, b, msc, msh)
+
+
+def _fused_swiglu_mn_bwd(eps, tps, res, dy):
+    x2, wg, wu, w2, g, b, msc, msh = res
+    from swift_tpu.ops.pallas_modnorm import reference_modnorm_residual
+
+    B = msc.shape[0]
+    per = x2.shape[0] // B
+
+    def ref(x2, wg, wu, w2, g, b, msc, msh):
+        y = reference_swiglu_ffn(x2, jnp.concatenate([wg, wu], -1), w2)
+        y = y.reshape(B, per, -1)
+        r = x2.reshape(B, per, -1)
+        return reference_modnorm_residual(y, r, g, b, msc, msh, eps).reshape(
+            x2.shape
+        )
+
+    _, vjp = jax.vjp(ref, x2, wg, wu, w2, g, b, msc, msh)
+    return vjp(dy)
+
+
+_fused_swiglu_mn.defvjp(_fused_swiglu_mn_fwd, _fused_swiglu_mn_bwd)
+
+
+def fused_swiglu_ffn_modnorm(x, w1, w2, g, b, mod_scale, mod_shift, eps=1e-6):
+    """``x + modnorm(SwiGLU_FFN(x))`` — the full post-norm FFN block arm in
+    one kernel. Args as fused_swiglu_ffn + the LN affine params (D,) and
+    per-sample AdaLN rows (B, D). Raises ValueError when shapes don't tile.
+    """
+    B = x.shape[0]
+    D = x.shape[-1]
+    H2 = w1.shape[1]
+    H = H2 // 2
+    tps = 1
+    for s in x.shape[1:-1]:
+        tps *= s
+    x2 = x.reshape(-1, D)
+    if _pick_block_small(math.gcd(x2.shape[0], tps)) == 0:
+        raise ValueError(f"token count {x2.shape[0]} does not tile")
+    wg = w1[:, :H].astype(x.dtype)
+    wu = w1[:, H:].astype(x.dtype)
+    out = _fused_swiglu_mn(
+        x2, wg, wu, w2.astype(x.dtype), g, b,
+        mod_scale.astype(x.dtype), mod_shift.astype(x.dtype), eps, tps,
+    )
+    return out.reshape(x.shape)

@@ -167,6 +167,108 @@ def _fused_bwd(eps, tps, res, dout):
 _fused.defvjp(_fused_fwd, _fused_bwd)
 
 
+def _mm_mn_kernel(x_ref, w_ref, r_ref, g_ref, b_ref, ms_ref, mb_ref, o_ref,
+                  *, eps):
+    y = jnp.dot(x_ref[...], w_ref[...], preferred_element_type=jnp.float32)
+    mu = jnp.mean(y, -1, keepdims=True)
+    var = jnp.mean(y * y, -1, keepdims=True) - mu * mu
+    yn = (y - mu) * jax.lax.rsqrt(var + eps)
+    ln = yn * g_ref[0].astype(jnp.float32) + b_ref[0].astype(jnp.float32)
+    out = ln * (1.0 + ms_ref[0, 0].astype(jnp.float32)) + mb_ref[0, 0].astype(
+        jnp.float32
+    )
+    o_ref[...] = (out + r_ref[...].astype(jnp.float32)).astype(o_ref.dtype)
+
+
+def _mm_mn_call(x2, w, r2, g, b, msc, msh, eps, tps):
+    import math
+
+    T, F = x2.shape
+    D = w.shape[1]
+    bt = _pick_block(math.gcd(T, tps))
+    per = tps // bt
+    return pl.pallas_call(
+        functools.partial(_mm_mn_kernel, eps=eps),
+        grid=(T // bt,),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
+        in_specs=[
+            pl.BlockSpec((bt, F), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((F, D), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((bt, D), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, D), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, D), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, D), lambda i: (i // per, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, D), lambda i: (i // per, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((bt, D), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((T, D), r2.dtype),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * T * F * D + 10 * T * D,
+            bytes_accessed=(T * (F + 2 * D) + F * D) * x2.dtype.itemsize,
+            transcendentals=0,
+        ),
+    )(x2, w, r2, g.reshape(1, D), b.reshape(1, D),
+      msc.reshape(-1, 1, D), msh.reshape(-1, 1, D))
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(7, 8))
+def _fused_mm_mn(x2, w, r2, g, b, msc, msh, eps, tps):
+    return _mm_mn_call(x2, w, r2, g, b, msc, msh, eps, tps)
+
+
+def _fused_mm_mn_fwd(x2, w, r2, g, b, msc, msh, eps, tps):
+    out = _mm_mn_call(x2, w, r2, g, b, msc, msh, eps, tps)
+    return out, (x2, w, r2, g, b, msc, msh)
+
+
+def _fused_mm_mn_bwd(eps, tps, res, dy):
+    x2, w, r2, g, b, msc, msh = res
+    B = msc.shape[0]
+    per = x2.shape[0] // B
+
+    def ref(x2, w, r2, g, b, msc, msh):
+        y = jnp.dot(x2, w.astype(x2.dtype)).reshape(B, per, -1)
+        r = r2.reshape(B, per, -1)
+        return reference_modnorm_residual(y, r, g, b, msc, msh, eps).reshape(
+            r2.shape
+        )
+
+    _, vjp = jax.vjp(ref, x2, w, r2, g, b, msc, msh)
+    return vjp(dy)
+
+
+_fused_mm_mn.defvjp(_fused_mm_mn_fwd, _fused_mm_mn_bwd)
+
+
+def fused_matmul_modnorm_residual(x, w, residual, g, b, mod_scale, mod_shift,
+                                  eps=1e-6):
+    """``residual + modnorm(x @ w)`` in one kernel (weights VMEM-resident,
+    the matmul output never reaches HBM) — the attention output-projection
+    epilogue. x: (B, ..., F); w: (F, D); residual: (B, ..., D).
+    Raises ValueError when shapes don't tile."""
+    import math
+
+    B = x.shape[0]
+    F = x.shape[-1]
+    D = w.shape[1]
+    tps = 1
+    for s in x.shape[1:-1]:
+        tps *= s
+    x2 = x.reshape(-1, F)
+    if _pick_block(math.gcd(x2.shape[0], tps)) == 0:
+        raise ValueError(f"token count {x2.shape[0]} does not tile")
+    out = _fused_mm_mn(
+        x2, w.astype(x.dtype), residual.reshape(-1, D).astype(x.dtype),
+        g, b, mod_scale.astype(x.dtype), mod_shift.astype(x.dtype), eps, tps,
+    )
+    return out.reshape(residual.shape)
+
+
 def fused_modnorm_residual(y, residual, g, b, mod_scale, mod_shift, eps=1e-6):
     """``residual + (LayerNorm(y)·g + b)·(1 + mod_scale) + mod_shift``.
 

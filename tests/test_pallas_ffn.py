@@ -87,3 +87,43 @@ def test_swinv2_pallas_ffn_matches_jnp_model():
     # itself is exact to ~1e-7 (test_forward_matches_reference).
     np.testing.assert_allclose(np.asarray(y_p), np.asarray(y_r),
                                rtol=2e-2, atol=2e-2)
+
+
+def test_fused_swiglu_modnorm_matches_composition():
+    """FFN + modnorm + residual epilogue == the separate composition."""
+    import swift_tpu.ops.pallas_modnorm as pm
+    from swift_tpu.ops.pallas_ffn import (
+        fused_swiglu_ffn_modnorm,
+        reference_swiglu_ffn,
+    )
+
+    ks = jax.random.split(jax.random.PRNGKey(5), 7)
+    B, N, D, H = 2, 64, 32, 85
+    x = jax.random.normal(ks[0], (B, N, D), jnp.float32)
+    w1 = 0.1 * jax.random.normal(ks[1], (D, 2 * H), jnp.float32)
+    w2 = 0.1 * jax.random.normal(ks[2], (H, D), jnp.float32)
+    g = 1.0 + 0.1 * jax.random.normal(ks[3], (D,), jnp.float32)
+    b = 0.1 * jax.random.normal(ks[4], (D,), jnp.float32)
+    msc = 0.2 * jax.random.normal(ks[5], (B, D), jnp.float32)
+    msh = 0.2 * jax.random.normal(ks[6], (B, D), jnp.float32)
+
+    out = fused_swiglu_ffn_modnorm(x, w1, w2, g, b, msc, msh)
+    y = reference_swiglu_ffn(x, w1, w2)
+    exp = pm.reference_modnorm_residual(y, x, g, b, msc, msh)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(exp),
+                               rtol=2e-5, atol=2e-5)
+
+    def lp(x, w1, w2, g, b, msc, msh):
+        return jnp.sum(
+            fused_swiglu_ffn_modnorm(x, w1, w2, g, b, msc, msh) ** 2)
+
+    def lr(x, w1, w2, g, b, msc, msh):
+        y = reference_swiglu_ffn(x, w1, w2)
+        return jnp.sum(
+            pm.reference_modnorm_residual(y, x, g, b, msc, msh) ** 2)
+
+    gp = jax.grad(lp, argnums=tuple(range(7)))(x, w1, w2, g, b, msc, msh)
+    gr = jax.grad(lr, argnums=tuple(range(7)))(x, w1, w2, g, b, msc, msh)
+    for a, e in zip(gp, gr):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(e),
+                                   rtol=2e-4, atol=2e-4)

@@ -103,3 +103,35 @@ def test_sharded_matches():
     np.testing.assert_allclose(
         np.asarray(out_tp), np.asarray(out_plain), rtol=1e-6, atol=1e-6
     )
+
+
+def test_fused_matmul_modnorm_residual_matches():
+    """wo-matmul + modnorm + residual epilogue == the composition."""
+    ks = jax.random.split(jax.random.PRNGKey(6), 7)
+    B, N, F, D = 2, 64, 40, 48
+    x = jax.random.normal(ks[0], (B, N, F), jnp.float32)
+    w = 0.1 * jax.random.normal(ks[1], (F, D), jnp.float32)
+    r = jax.random.normal(ks[2], (B, N, D), jnp.float32)
+    g = 1.0 + 0.1 * jax.random.normal(ks[3], (D,), jnp.float32)
+    b = 0.1 * jax.random.normal(ks[4], (D,), jnp.float32)
+    msc = 0.2 * jax.random.normal(ks[5], (B, D), jnp.float32)
+    msh = 0.2 * jax.random.normal(ks[6], (B, D), jnp.float32)
+
+    out = pm.fused_matmul_modnorm_residual(x, w, r, g, b, msc, msh)
+    exp = pm.reference_modnorm_residual(jnp.dot(x, w), r, g, b, msc, msh)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(exp),
+                               rtol=2e-5, atol=2e-5)
+
+    def lp(*a):
+        return jnp.sum(pm.fused_matmul_modnorm_residual(*a) ** 2)
+
+    def lr(x, w, r, g, b, msc, msh):
+        return jnp.sum(
+            pm.reference_modnorm_residual(jnp.dot(x, w), r, g, b, msc,
+                                          msh) ** 2)
+
+    gp = jax.grad(lp, argnums=tuple(range(7)))(x, w, r, g, b, msc, msh)
+    gr = jax.grad(lr, argnums=tuple(range(7)))(x, w, r, g, b, msc, msh)
+    for a, e in zip(gp, gr):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(e),
+                                   rtol=2e-4, atol=2e-4)
