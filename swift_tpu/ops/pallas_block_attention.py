@@ -21,12 +21,20 @@ attention output directly in ``(B, gh, gw, heads·d)`` spatial layout:
   * cosine normalization (fp32) + the learned per-head logit scale happen
     on the VMEM tile (reference swinv2.py:116-127);
   * the odd-block cyclic shift (reference swinv2.py:193-194) is folded in:
-    inputs are rolled and the output un-rolled inside the kernel by
-    slice+concat on the spatial dims — no HBM roll passes at all.
+    each window is read from and written back to its wrapped (shifted)
+    coordinates directly — only the wrap-around row/column windows pay a
+    concat; no HBM roll passes at all.
 
 Backward is a mirrored kernel (same grid/blocks) that recomputes the
 softmax and emits dqkv in the same interleaved layout plus per-(sample,
-head) partials of the logit-scale gradient in SMEM.
+head) partials of the logit-scale gradient; a forward-mode tangent kernel
+(custom_jvp) serves the sCM loss so both sCM forwards ride fused kernels.
+
+Mosaic requires lane-dim blocks divisible by 128; the 88-wide head chunks
+are therefore zero-padded to 128 — by the CALLER padding the projection
+weight columns (swinv2.WindowAttention), or by fused_block_attention
+padding the activation as a fallback. Zero lanes are invariant through the
+cosine norms, QK^T, and PV, so no masking is needed.
 
 Shapes must satisfy ``gh % wh == 0``, ``gw % ww == 0`` and sublane
 alignment (``ww % 8 == 0`` when ``ww < gw``; shift multiples of 8 on the

@@ -23,6 +23,7 @@ from __future__ import annotations
 from typing import Any
 
 import jax
+import jax.numpy as jnp
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
@@ -90,7 +91,9 @@ def pad_lat_to_grid(x, patch: int, window: int, lat_axis: int = 1):
         return x, H
     widths = [(0, 0)] * x.ndim
     widths[lat_axis] = (0, pad)
-    return np.pad(np.asarray(x), widths, mode="edge"), H
+    # jnp.pad is jit-traceable (works on host numpy arrays too), so the
+    # padding can live inside the compiled rollout.
+    return jnp.pad(jnp.asarray(x), widths, mode="edge"), H
 
 
 def crop_lat(y, orig_len: int, lat_axis: int = 1):
