@@ -77,11 +77,13 @@ class MuonState(NamedTuple):
     momentum: Any
 
 
-def _sharded_orthogonalize(u: jnp.ndarray, ns_steps: int, mesh, axis: str):
-    """Partition a stacked (P, m, n) Newton-Schulz over the mesh axis — the
-    mesh-native analogue of the reference's round-robin rank sharding +
-    all_gather (muon.py:88-110): each device orthogonalizes its slice of
-    the layer stack; the out_spec all_gathers the results.
+def _sharded_orthogonalize(u: jnp.ndarray, ns_steps: int, mesh, axis):
+    """Partition a stacked (P, m, n) Newton-Schulz over one or more mesh
+    axes — the mesh-native analogue of the reference's round-robin rank
+    sharding + all_gather (muon.py:88-110): each device orthogonalizes its
+    slice of the layer stack; the out_spec all_gathers the results. With a
+    (data, model) mesh the stack shards over the FLATTENED device set, so
+    tp devices contribute NS work too instead of replicating it.
 
     The reshards are staged EXPLICITLY (replicate -> slice into the
     shard_map -> replicate): a momentum tensor arriving with a TP sharding
@@ -93,7 +95,10 @@ def _sharded_orthogonalize(u: jnp.ndarray, ns_steps: int, mesh, axis: str):
     from jax import shard_map
     from jax.sharding import NamedSharding, PartitionSpec as P
 
-    n_dev = mesh.shape[axis]
+    axis = (axis,) if isinstance(axis, str) else tuple(axis)
+    n_dev = 1
+    for a in axis:
+        n_dev *= mesh.shape[a]
     P0 = u.shape[0]
     rep = NamedSharding(mesh, P())
     u = jax.lax.with_sharding_constraint(u, rep)
@@ -116,7 +121,7 @@ def scale_by_muon(
     ns_steps: int = 5,
     nesterov: bool = True,
     mesh=None,
-    shard_axis: str = "data",
+    shard_axis = ("data", "model"),
 ) -> optax.GradientTransformation:
     """Raw Muon direction: momentum + Newton-Schulz orthogonalization.
 
@@ -131,13 +136,16 @@ def scale_by_muon(
     def _ortho(u):
         if u.ndim < 2:
             return u
-        if (
-            mesh is not None
-            and u.ndim == 3
-            and shard_axis in mesh.axis_names
-            and mesh.shape[shard_axis] > 1
-        ):
-            return _sharded_orthogonalize(u, ns_steps, mesh, shard_axis)
+        if mesh is not None and u.ndim == 3:
+            axes = (
+                (shard_axis,) if isinstance(shard_axis, str) else tuple(shard_axis)
+            )
+            axes = tuple(a for a in axes if a in mesh.axis_names)
+            n_dev = 1
+            for a in axes:
+                n_dev *= mesh.shape[a]
+            if axes and n_dev > 1:
+                return _sharded_orthogonalize(u, ns_steps, mesh, axes)
         return _orthogonalized_update(u, ns_steps)
 
     def update_fn(updates, state, params=None):
@@ -163,7 +171,7 @@ def muon(
     nesterov: bool = True,
     weight_decay: float = 0.0,
     mesh=None,
-    shard_axis: str = "data",
+    shard_axis = ("data", "model"),
 ) -> optax.GradientTransformation:
     """Standalone Muon with AdamW-style decoupled weight decay."""
     return optax.chain(
@@ -222,14 +230,16 @@ def muon_with_aux_adam(
     adam_weight_decay: float = 0.01,
     adam_eps: float = 1e-10,
     mesh=None,
-    shard_axis: str = "data",
+    shard_axis = ("data", "model"),
 ) -> optax.GradientTransformation:
     """Combined Muon + aux Adam (reference muon.py:157-262).
 
     ``param_labels(params)`` returns a pytree of "muon"/"adam" labels; the
     canonical labeler for SwinV2 lives in ``swift_tpu.training.trainer``
     (matches reference train.py:296-311). With ``mesh``, Newton-Schulz work
-    on stacked layer parameters is sharded over ``shard_axis``.
+    on stacked layer parameters is sharded over ``shard_axis`` (a name or
+    tuple of names; axes missing from the mesh are ignored, so the default
+    ("data", "model") uses every device of a dp x tp mesh).
     """
     return optax.multi_transform(
         {

@@ -127,3 +127,32 @@ def test_mars_jittable():
 
     p, s = step(params, state)
     assert jnp.isfinite(p["w"]).all()
+
+
+def test_muon_sharded_ns_both_axes_matches_unsharded():
+    """NS work sharded over the FLATTENED (data, model) device set — the
+    dp x tp default — matches the unsharded update."""
+    import numpy as np
+    from jax.sharding import Mesh
+
+    from swift_tpu.training.optimizers.muon import scale_by_muon
+
+    mesh = Mesh(np.array(jax.devices()).reshape(4, 2), ("data", "model"))
+    params = {
+        "stack": jnp.zeros((6, 16, 24)),  # 6 doesn't divide 8 -> padding
+        "vec": jnp.zeros((16,)),
+    }
+    grads = {
+        "stack": jax.random.normal(jax.random.PRNGKey(0), (6, 16, 24)),
+        "vec": jax.random.normal(jax.random.PRNGKey(1), (16,)),
+    }
+    ref_tx = scale_by_muon(mesh=None)
+    tx = scale_by_muon(mesh=mesh, shard_axis=("data", "model"))
+    ref_up, _ = ref_tx.update(grads, ref_tx.init(params), params)
+    up, _ = jax.jit(lambda g, s, p: tx.update(g, s, p))(
+        grads, tx.init(params), params
+    )
+    for k in params:
+        np.testing.assert_allclose(
+            np.asarray(up[k]), np.asarray(ref_up[k]), rtol=2e-2, atol=2e-2
+        )
