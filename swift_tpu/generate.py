@@ -48,10 +48,24 @@ parser.add_argument("--num-solver-steps", type=int, default=1)
 parser.add_argument("--seed", type=int, default=0)
 
 
+def _rank0_barrier(fn, *fn_args, **fn_kwargs):
+    """Create the shared store on process 0 only, then barrier — the
+    reference creates stores rank-0 behind an MPI barrier
+    (reference generate.py:241-252, utils/helpers.py:5-8)."""
+    import jax
+
+    if jax.process_index() == 0:
+        fn(*fn_args, **fn_kwargs)
+    if jax.process_count() > 1:
+        from jax.experimental import multihost_utils
+
+        multihost_utils.sync_global_devices("swift_tpu.generate.build_store")
+
+
 def build_store(args, dataset, indices, odir, filename):
     if args.dump == "numpy":
         ofile = os.path.join(odir, f"{filename}.npy")
-        create_empty_numpy(ofile, dataset, args.members, args.steps)
+        _rank0_barrier(create_empty_numpy, ofile, dataset, args.members, args.steps)
         store = np.lib.format.open_memmap(ofile, mode="r+")
 
         def write_fn(ic_start, m, lead_start, chunk):
@@ -67,7 +81,8 @@ def build_store(args, dataset, indices, odir, filename):
         return ofile, write_fn, finalize
 
     ofile = os.path.join(odir, f"{filename}.zarr")
-    create_forecast_zarr(
+    _rank0_barrier(
+        create_forecast_zarr,
         ofile, dataset, args.members, args.steps,
         interval=args.interval, batch=args.batch, indices=indices,
     )

@@ -344,10 +344,12 @@ class WindowAttention(nn.Module):
                 fused_matmul_modnorm_residual,
             )
 
-            g_, b_, sc, sh = norm(None, t, pieces=True)
+            # NOTE: named mod_* to avoid shadowing the window-shift row `sh`
+            # unpacked above (ADVICE r2).
+            mod_g, mod_b, mod_scale, mod_shift = norm(None, t, pieces=True)
             try:
                 return fused_matmul_modnorm_residual(
-                    out.astype(self.dtype), k_wo, x, g_, b_, sc, sh
+                    out.astype(self.dtype), k_wo, x, mod_g, mod_b, mod_scale, mod_shift
                 )
             except ValueError:
                 pass

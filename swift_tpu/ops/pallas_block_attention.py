@@ -71,9 +71,11 @@ def block_attention_eligible(
         return False
     if sw and sw % 8:
         return False
-    # keep the whole (gh, gw, d) tile + logits comfortably in VMEM
+    # keep the whole (gh, gw, d) tile + logits comfortably in VMEM; the
+    # kernel pads the head dim to the next multiple of 128 (_padded_dim), so
+    # the estimate must use the padded width, not max(d, 128) (ADVICE r2).
     n = wh * ww
-    if n > 1024 or gh * gw * max(d, 128) * 4 > 24 * 1024 * 1024:
+    if n > 1024 or gh * gw * _padded_dim(d) * 4 > 24 * 1024 * 1024:
         return False
     return True
 

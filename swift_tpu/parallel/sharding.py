@@ -14,8 +14,11 @@ SwinV2 rules (Megatron-style column/row split per block):
 Scan-over-layers parameters carry a leading layer axis, so the feature
 axes shift by one.
 
-Note: the fused Pallas attention path is not GSPMD-partitioned yet — use
-``use_pallas=False`` (or 1-way model axis) when sharding over ``model``.
+The fused Pallas attention kernels compose with these shardings:
+``sharded_block_attention`` (ops/pallas_block_attention.py) shard_maps the
+block kernel over (data, model) with head chunks on ``model``, and the
+per-head kernel has an equivalent wrapper in ops/pallas_attention.py —
+``use_pallas`` stays on under TP.
 """
 
 from __future__ import annotations

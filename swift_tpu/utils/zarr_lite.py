@@ -221,14 +221,6 @@ class ZarrGroup:
         data: Optional[np.ndarray] = None,
     ) -> ZarrArray:
         adir = self.path / name
-        if adir.exists():
-            # re-creating an array must not leave stale chunk files from a
-            # previous shape/chunking behind (readers bound by .zarray would
-            # ignore them, but they silently bloat the store).
-            import shutil
-
-            shutil.rmtree(adir)
-        adir.mkdir(parents=True, exist_ok=True)
         dt = np.dtype(dtype)
         meta = {
             "zarr_format": 2,
@@ -242,6 +234,22 @@ class ZarrGroup:
             "order": "C",
             "filters": None,
         }
+        if adir.exists():
+            # Idempotent re-creation: in a distributed generate run every
+            # process calls create on the shared store. Only wipe when the
+            # layout actually changed (stale chunk files from a previous
+            # shape/chunking would silently bloat the store); a matching
+            # concurrent create must be a no-op, not an rmtree that races
+            # another process's just-written chunks.
+            try:
+                unchanged = json.loads((adir / ".zarray").read_text()) == meta
+            except (OSError, ValueError):
+                unchanged = False
+            if not unchanged:
+                import shutil
+
+                shutil.rmtree(adir, ignore_errors=True)
+        adir.mkdir(parents=True, exist_ok=True)
         (adir / ".zarray").write_text(json.dumps(meta, indent=4))
         a = dict(attrs or {})
         if dims is not None:

@@ -79,6 +79,56 @@ def test_backward_matches_reference(shift):
         )
 
 
+def test_wrap_around_window_paths():
+    """Width wrap-around gather/scatter coverage (ADVICE r2): with sw < ww
+    relative to gw (here gw=32, ww=16, sw=8 — the flagship's ratio) every odd
+    block's windows straddle the gw boundary, exercising the _wrap_pieces
+    column concat in _gather_window and the split stores in _scatter_window.
+    fwd, bwd and jvp must all match the jnp reference."""
+    gh, gw, win, shift = 8, 32, (4, 16), (2, 8)
+    assert pba.block_attention_eligible((gh, gw), win, shift, HEADS, HEADS * D)
+    ks = jax.random.split(jax.random.PRNGKey(21), 3)
+    qkv = jax.random.normal(ks[0], (B, gh, gw, FEAT), jnp.float32)
+    scale = jnp.exp(jax.random.normal(ks[1], (HEADS,)) * 0.1 + 1.0)
+    tqkv = jax.random.normal(ks[2], qkv.shape)
+
+    out_p = pba.fused_block_attention(qkv, scale, HEADS, win, shift)
+    out_r = pba.reference_block_attention(qkv, scale, HEADS, win, shift)
+    np.testing.assert_allclose(
+        np.asarray(out_p), np.asarray(out_r), rtol=2e-5, atol=2e-5
+    )
+
+    gp = jax.grad(
+        lambda a, s: jnp.sum(
+            pba.fused_block_attention(a, s, HEADS, win, shift) ** 2
+        ),
+        argnums=(0, 1),
+    )(qkv, scale)
+    gr = jax.grad(
+        lambda a, s: jnp.sum(
+            pba.reference_block_attention(a, s, HEADS, win, shift) ** 2
+        ),
+        argnums=(0, 1),
+    )(qkv, scale)
+    for a, b, name in zip(gp, gr, ["dqkv", "dscale"]):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=2e-4, atol=2e-4,
+            err_msg=f"mismatch in {name}",
+        )
+
+    _, dop = jax.jvp(
+        lambda a: pba.fused_block_attention(a, scale, HEADS, win, shift,
+                                            jvp=True),
+        (qkv,), (tqkv,),
+    )
+    _, dor = jax.jvp(
+        lambda a: pba.reference_block_attention(a, scale, HEADS, win, shift),
+        (qkv,), (tqkv,),
+    )
+    np.testing.assert_allclose(np.asarray(dop), np.asarray(dor),
+                               rtol=2e-4, atol=2e-4)
+
+
 def test_swinv2_block_kernel_consistency():
     """SwinV2 with the block kernel (interpreted) == the jnp path, on a
     config whose shapes are block-kernel eligible (window cols == grid
