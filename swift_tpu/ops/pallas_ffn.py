@@ -125,13 +125,100 @@ def _fused_swiglu_bwd(res, dy):
 _fused_swiglu.defvjp(_fused_swiglu_fwd, _fused_swiglu_bwd)
 
 
-def fused_swiglu_ffn(x, w1, w2):
+# ---------------------------------------------------------------------------
+# Forward-mode (sCM jvp) tangent kernel.
+#
+# Under jax.jvp the jnp fallback materializes FOUR (tokens, H) intermediates
+# in HBM (g, u, dg, du) on top of the primal's gate_up — ~200 ms of the
+# 2.6 s training step at batch 16 (PERF.md r2 "next levers" #2). This kernel
+# recomputes g/u in VMEM (the gate/up recompute ≈ one extra matmul pair,
+# cheaper than their HBM round-trip at these shapes) and emits the tangent
+#
+#     dy = (silu'(g)·(dx@Wg)·u + silu(g)·(dx@Wu)) @ W2
+#
+# NOTE the COMBINED primal+tangent single kernel was measured a wash
+# (PERF.md ledger / CLAUDE.md rule 5): primal and tangent stay separate
+# pallas passes so each overlaps neighbouring work.
+
+
+def _ffn_tangent_kernel(x_ref, dx_ref, wg_ref, wu_ref, w2_ref, do_ref):
+    x = x_ref[...]
+    dx = dx_ref[...]
+    g = jnp.dot(x, wg_ref[...], preferred_element_type=jnp.float32)
+    u = jnp.dot(x, wu_ref[...], preferred_element_type=jnp.float32)
+    dg = jnp.dot(dx, wg_ref[...], preferred_element_type=jnp.float32)
+    du = jnp.dot(dx, wu_ref[...], preferred_element_type=jnp.float32)
+    sig = jax.nn.sigmoid(g)
+    # d silu(g) = sigmoid(g) * (1 + g * (1 - sigmoid(g)))
+    dh = (sig * (1 + g * (1 - sig))) * dg * u + (g * sig) * du
+    do_ref[...] = jnp.dot(
+        dh.astype(x.dtype), w2_ref[...], preferred_element_type=jnp.float32
+    ).astype(do_ref.dtype)
+
+
+def _ffn_tangent_call(x2, dx2, wg, wu, w2):
+    T, D = x2.shape
+    H = wg.shape[1]
+    bt = _pick_block(T)
+    return pl.pallas_call(
+        _ffn_tangent_kernel,
+        grid=(T // bt,),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
+        in_specs=[
+            pl.BlockSpec((bt, D), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((bt, D), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((D, H), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((D, H), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((H, D), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((bt, D), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((T, D), x2.dtype),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * T * D * H * 5,
+            bytes_accessed=(3 * T * D + 3 * D * H) * x2.dtype.itemsize,
+            transcendentals=T * H,
+        ),
+    )(x2, dx2, wg, wu, w2)
+
+
+@jax.custom_jvp
+def _fused_swiglu_jvp_capable(x2, wg, wu, w2):
+    """Same fused primal, plus a forward-mode rule (the sCM tangent path,
+    reference loss.py:212-220 / swinv2.py:129's flash-disable dodge).
+
+    Weight tangents are assumed zero: this entry is reached only from the
+    sCM jvp forward, which differentiates w.r.t. (x, t) with the params
+    closed over as constants (same contract as the attention kernel's
+    ``_fba_jvp_capable``)."""
+    return _ffn_call(x2, wg, wu, w2)
+
+
+@_fused_swiglu_jvp_capable.defjvp
+def _fused_swiglu_jvp_rule(primals, tangents):
+    x2, wg, wu, w2 = primals
+    dx2 = tangents[0]
+    o = _fused_swiglu(x2, wg, wu, w2)  # vjp-capable primal
+    do = _ffn_tangent_call(
+        jax.lax.stop_gradient(x2),
+        jax.lax.stop_gradient(dx2.astype(x2.dtype)),
+        jax.lax.stop_gradient(wg),
+        jax.lax.stop_gradient(wu),
+        jax.lax.stop_gradient(w2),
+    )
+    return o, do
+
+
+def fused_swiglu_ffn(x, w1, w2, jvp=False):
     """SwiGLU FFN with the pallas-fused forward.
 
     x: (..., D); w1: (D, 2H) with gate = w1[:, :H], up = w1[:, H:]
     (the reference chunk order, swinv2.py:99); w2: (H, D). Returns (..., D)
     in x.dtype. Falls back to the caller's jnp path via ValueError when the
-    token count doesn't tile.
+    token count doesn't tile. With ``jvp=True`` the entry carries a
+    forward-mode rule (fused tangent kernel) instead of the custom_vjp.
     """
     D = x.shape[-1]
     H2 = w1.shape[1]
@@ -141,7 +228,8 @@ def fused_swiglu_ffn(x, w1, w2):
         raise ValueError(f"token count {x2.shape[0]} does not tile")
     wg = w1[:, :H].astype(x.dtype)
     wu = w1[:, H:].astype(x.dtype)
-    y = _fused_swiglu(x2, wg, wu, w2.astype(x.dtype))
+    fn = _fused_swiglu_jvp_capable if jvp else _fused_swiglu
+    y = fn(x2, wg, wu, w2.astype(x.dtype))
     return y.reshape(x.shape)
 
 

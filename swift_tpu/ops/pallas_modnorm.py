@@ -106,13 +106,13 @@ def reference_modnorm_residual(y, residual, g, b, mod_scale, mod_shift,
 
 
 def sharded_modnorm_residual(y, residual, g, b, mod_scale, mod_shift,
-                             eps=1e-6, mesh=None, data_axis=None):
+                             eps=1e-6, mesh=None, data_axis=None, jvp=False):
     """fused_modnorm_residual, shard_map'd over the batch when a mesh is
     configured (pallas_call under bare GSPMD would force replication).
     Raises ValueError on untileable shapes — callers fall back to jnp."""
     if mesh is None:
         return fused_modnorm_residual(y, residual, g, b, mod_scale,
-                                      mod_shift, eps)
+                                      mod_shift, eps, jvp=jvp)
     B = y.shape[0]
     if (
         data_axis is None
@@ -129,7 +129,7 @@ def sharded_modnorm_residual(y, residual, g, b, mod_scale, mod_shift,
     vspec = P(None)
 
     def f(y, r, g, b, msc, msh):
-        return fused_modnorm_residual(y, r, g, b, msc, msh, eps)
+        return fused_modnorm_residual(y, r, g, b, msc, msh, eps, jvp=jvp)
 
     return shard_map(
         f, mesh=mesh,
@@ -165,6 +165,87 @@ def _fused_bwd(eps, tps, res, dout):
 
 
 _fused.defvjp(_fused_fwd, _fused_bwd)
+
+
+# ---------------------------------------------------------------------------
+# Forward-mode (sCM jvp) tangent: one VPU pass instead of the jnp fallback's
+# three over the activation. AdaLN scale/shift DO carry tangents (they are
+# Dense(t) with t differentiated by the sCM jvp); the LN affine params g/b
+# do not (params are constants under the loss's jax.jvp).
+
+
+def _mn_tangent_kernel(y_ref, dy_ref, dr_ref, g_ref, b_ref, ms_ref, dms_ref,
+                       dmb_ref, o_ref, *, eps):
+    y = y_ref[...].astype(jnp.float32)
+    dy = dy_ref[...].astype(jnp.float32)
+    mu = jnp.mean(y, -1, keepdims=True)
+    var = jnp.mean(y * y, -1, keepdims=True) - mu * mu
+    rs = jax.lax.rsqrt(var + eps)
+    yn = (y - mu) * rs
+    dmu = jnp.mean(dy, -1, keepdims=True)
+    dvar = 2.0 * (jnp.mean(y * dy, -1, keepdims=True) - mu * dmu)
+    dyn = rs * (dy - dmu) - 0.5 * yn * (rs * rs) * dvar
+    g = g_ref[0].astype(jnp.float32)
+    ln = yn * g + b_ref[0].astype(jnp.float32)
+    dln = dyn * g
+    dout = (
+        dln * (1.0 + ms_ref[0, 0].astype(jnp.float32))
+        + ln * dms_ref[0, 0].astype(jnp.float32)
+        + dmb_ref[0, 0].astype(jnp.float32)
+        + dr_ref[...].astype(jnp.float32)
+    )
+    o_ref[...] = dout.astype(o_ref.dtype)
+
+
+def _tangent_call(y2, dy2, dr2, g, b, msc, dmsc, dmsh, eps, tokens_per_sample):
+    T, D = y2.shape
+    bt = _pick_block(tokens_per_sample)
+    per = tokens_per_sample // bt
+    tok = lambda: pl.BlockSpec((bt, D), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM)
+    vec = lambda: pl.BlockSpec((1, D), lambda i: (0, 0),
+                               memory_space=pltpu.VMEM)
+    mod = lambda: pl.BlockSpec((1, 1, D), lambda i: (i // per, 0, 0),
+                               memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        functools.partial(_mn_tangent_kernel, eps=eps),
+        grid=(T // bt,),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=64 * 1024 * 1024,
+        ),
+        in_specs=[tok(), tok(), tok(), vec(), vec(), mod(), mod(), mod()],
+        out_specs=tok(),
+        out_shape=jax.ShapeDtypeStruct((T, D), dr2.dtype),
+        cost_estimate=pl.CostEstimate(
+            flops=18 * T * D,
+            bytes_accessed=4 * T * D * y2.dtype.itemsize,
+            transcendentals=0,
+        ),
+    )(y2, dy2, dr2, g.reshape(1, D), b.reshape(1, D),
+      msc.reshape(-1, 1, D), dmsc.reshape(-1, 1, D), dmsh.reshape(-1, 1, D))
+
+
+@functools.partial(jax.custom_jvp, nondiff_argnums=(6, 7))
+def _mn_jvp_capable(y2, r2, g, b, msc, msh, eps, tokens_per_sample):
+    """Same fused primal as ``_fused`` plus a forward-mode rule. g/b
+    tangents are assumed zero (params are constants under the sCM loss's
+    jax.jvp — the same contract as the attention/FFN jvp-capable entries)."""
+    return _call(y2, r2, g, b, msc, msh, eps, tokens_per_sample)
+
+
+@_mn_jvp_capable.defjvp
+def _mn_jvp_rule(eps, tps, primals, tangents):
+    y2, r2, g, b, msc, msh = primals
+    dy2, dr2, _, _, dmsc, dmsh = tangents
+    out = _fused(y2, r2, g, b, msc, msh, eps, tps)  # vjp-capable primal
+    sg = jax.lax.stop_gradient
+    dout = _tangent_call(
+        sg(y2), sg(dy2.astype(y2.dtype)), sg(dr2.astype(r2.dtype)),
+        sg(g), sg(b), sg(msc),
+        sg(dmsc.astype(msc.dtype)), sg(dmsh.astype(msh.dtype)),
+        eps, tps,
+    )
+    return out, dout
 
 
 def _mm_mn_kernel(x_ref, w_ref, r_ref, g_ref, b_ref, ms_ref, mb_ref, o_ref,
@@ -269,13 +350,16 @@ def fused_matmul_modnorm_residual(x, w, residual, g, b, mod_scale, mod_shift,
     return out.reshape(residual.shape)
 
 
-def fused_modnorm_residual(y, residual, g, b, mod_scale, mod_shift, eps=1e-6):
+def fused_modnorm_residual(y, residual, g, b, mod_scale, mod_shift, eps=1e-6,
+                           jvp=False):
     """``residual + (LayerNorm(y)·g + b)·(1 + mod_scale) + mod_shift``.
 
     y / residual: (B, ..., D); g / b: (D,) LayerNorm affine params;
     mod_scale / mod_shift: (B, D) per-sample AdaLN rows. Returns
     residual.dtype. Raises ValueError when the per-sample token count
     doesn't tile (callers fall back to reference_modnorm_residual).
+    With ``jvp=True`` the entry carries a forward-mode rule (fused tangent
+    kernel) for the sCM jvp forward.
     """
     B = y.shape[0]
     D = y.shape[-1]
@@ -286,7 +370,8 @@ def fused_modnorm_residual(y, residual, g, b, mod_scale, mod_shift, eps=1e-6):
         raise ValueError(f"tokens per sample {tps} does not tile")
     y2 = y.reshape(B * tps, D)
     r2 = residual.reshape(B * tps, D)
-    out = _fused(y2, r2, g, b,
-                 mod_scale.astype(y.dtype), mod_shift.astype(y.dtype),
-                 eps, tps)
+    fn = _mn_jvp_capable if jvp else _fused
+    out = fn(y2, r2, g, b,
+             mod_scale.astype(y.dtype), mod_shift.astype(y.dtype),
+             eps, tps)
     return out.reshape(residual.shape)

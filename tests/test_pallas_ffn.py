@@ -127,3 +127,21 @@ def test_fused_swiglu_modnorm_matches_composition():
     for a, e in zip(gp, gr):
         np.testing.assert_allclose(np.asarray(a), np.asarray(e),
                                    rtol=2e-4, atol=2e-4)
+
+
+def test_jvp_variant_matches_reference():
+    """jax.jvp through the jvp-capable entry (fused tangent kernel) == jvp
+    through the jnp reference (the sCM jvp forward path)."""
+    x, w1, w2 = _inputs(3)
+    dx = jax.random.normal(jax.random.PRNGKey(9), x.shape, x.dtype)
+
+    op, dop = jax.jvp(
+        lambda x: pf.fused_swiglu_ffn(x, w1, w2, jvp=True), (x,), (dx,)
+    )
+    orf, dorf = jax.jvp(
+        lambda x: pf.reference_swiglu_ffn(x, w1, w2), (x,), (dx,)
+    )
+    np.testing.assert_allclose(np.asarray(op), np.asarray(orf),
+                               rtol=2e-3, atol=2e-3)
+    np.testing.assert_allclose(np.asarray(dop), np.asarray(dorf),
+                               rtol=2e-3, atol=2e-3)

@@ -135,3 +135,32 @@ def test_fused_matmul_modnorm_residual_matches():
     for a, e in zip(gp, gr):
         np.testing.assert_allclose(np.asarray(a), np.asarray(e),
                                    rtol=2e-4, atol=2e-4)
+
+
+def test_jvp_variant_matches_reference():
+    """jax.jvp through the jvp-capable entry: tangents flow through y,
+    residual AND the AdaLN scale/shift rows (Dense(t) under the sCM jvp);
+    g/b are params (zero tangent by the entry's contract)."""
+    y, r, g, b, msc, msh = _inputs(2)
+    ks = jax.random.split(jax.random.PRNGKey(17), 4)
+    dy = jax.random.normal(ks[0], y.shape, y.dtype)
+    dr = jax.random.normal(ks[1], r.shape, r.dtype)
+    dmsc = 0.1 * jax.random.normal(ks[2], msc.shape, msc.dtype)
+    dmsh = 0.1 * jax.random.normal(ks[3], msh.shape, msh.dtype)
+
+    op, dop = jax.jvp(
+        lambda y, r, msc, msh: pm.fused_modnorm_residual(
+            y, r, g, b, msc, msh, jvp=True
+        ),
+        (y, r, msc, msh), (dy, dr, dmsc, dmsh),
+    )
+    orf, dorf = jax.jvp(
+        lambda y, r, msc, msh: pm.reference_modnorm_residual(
+            y, r, g, b, msc, msh
+        ),
+        (y, r, msc, msh), (dy, dr, dmsc, dmsh),
+    )
+    np.testing.assert_allclose(np.asarray(op), np.asarray(orf),
+                               rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(dop), np.asarray(dorf),
+                               rtol=1e-5, atol=1e-5)
