@@ -116,6 +116,13 @@ class EnsembleRollout:
             spec = [None] * x.ndim
             spec[lat_dim] = "data"
             return jax.device_put(x, NamedSharding(self.mesh, P(*spec)))
+        logger.warning(
+            f"ensemble state shape {x.shape} replicated over {D} devices: "
+            f"neither the member*ic batch ({x.shape[0]}) nor the latitude "
+            f"axis divides the mesh — every device computes the FULL batch "
+            "redundantly. Pick --members/--batch so members*batch % devices "
+            "== 0 (or a lat-divisible grid) to use the hardware."
+        )
         return jax.device_put(x, NamedSharding(self.mesh, P()))
 
     def run(
