@@ -2,24 +2,52 @@
 combinations of {FFN jvp kernel, modnorm jvp kernel} on/off, by patching the
 fused entries to raise ValueError (the model's normal fallback path).
 
+Timing is TRACE-BASED (device op totals), not wall clock — wall clock
+through the dev tunnel is dispatch-bound and unreliable (PERF.md).
+
 Decides whether the r3 jvp-capable kernels stay enabled per-site — the r2
 ledger predicted the FFN one is a wash by arithmetic (CLAUDE.md rule 5).
 """
 
 from __future__ import annotations
 
+import glob
+import gzip
+import json
+import shutil
 import sys
-import time
 
 sys.path.insert(0, "/root/repo")
 
 import numpy as np
 
 BATCH = 16
+OUTDIR = "/tmp/swift_probe_jvp"
 
 
 def log(m):
     print(m, flush=True)
+
+
+def _device_ms_per_step(outdir, n_steps):
+    traces = sorted(glob.glob(outdir + "/**/*.trace.json.gz", recursive=True))
+    if not traces:
+        return float("nan")
+    with gzip.open(traces[-1], "rt") as f:
+        data = json.load(f)
+    pid_names = {}
+    for e in data.get("traceEvents", []):
+        if e.get("ph") == "M" and e.get("name") == "process_name":
+            pid_names[e["pid"]] = e["args"].get("name", "")
+    dev_pids = {p for p, n in pid_names.items() if "TPU" in n}
+    total = 0.0
+    for e in data.get("traceEvents", []):
+        if e.get("ph") != "X" or (dev_pids and e.get("pid") not in dev_pids):
+            continue
+        name = e.get("name", "")
+        if name.startswith("jit_jvp_fwd"):
+            total += e.get("dur", 0) / 1e3
+    return total / n_steps
 
 
 def main():
@@ -60,14 +88,12 @@ def main():
             raise ValueError("modnorm jvp fusion disabled for probe")
         return orig_mn(*args, jvp=jvp, **kw)
 
+    results = {}
     for ffn_on in (True, False):
         for mn_on in (True, False):
             pf.fused_swiglu_ffn = orig_ffn if ffn_on else ffn_off
             pm.sharded_modnorm_residual = orig_mn if mn_on else mn_off
-            # re-point the model module's imported names (imported lazily
-            # inside the methods, so module-attr patching is enough)
 
-            @jax.jit
             def jvp_fwd(p, x, t, cond, aux, vx):
                 def wrapper(xi, ti):
                     return pre.apply(p, xi, ti, cond, aux, jvp=True)
@@ -75,15 +101,20 @@ def main():
                 _, dF = jax.jvp(wrapper, (x, t), (vx, 0.4 * jnp.ones_like(t)))
                 return dF
 
-            r = jvp_fwd(params, x, t, cond, aux, vx)
+            fn = jax.jit(jvp_fwd)
+            r = fn(params, x, t, cond, aux, vx)
             jax.block_until_ready(r)
-            t0 = time.perf_counter()
-            N = 4
+
+            shutil.rmtree(OUTDIR, ignore_errors=True)
+            jax.profiler.start_trace(OUTDIR)
+            N = 3
             for _ in range(N):
-                r = jvp_fwd(params, x, t, cond, aux, vx)
+                r = fn(params, x, t, cond, aux, vx)
             jax.block_until_ready(r)
-            per = (time.perf_counter() - t0) / N
-            log(f"ffn_fused={ffn_on} modnorm_fused={mn_on}: {per * 1e3:.1f} ms")
+            jax.profiler.stop_trace()
+            ms = _device_ms_per_step(OUTDIR, N)
+            results[(ffn_on, mn_on)] = ms
+            log(f"ffn_fused={ffn_on} modnorm_fused={mn_on}: {ms:.1f} ms device")
 
     pf.fused_swiglu_ffn = orig_ffn
     pm.sharded_modnorm_residual = orig_mn

@@ -294,6 +294,13 @@ def build_optimizer(
         return opt, schedules[0]
     if target == "MuonWithAuxAdam":
         betas = cfg.get("adam_betas", (0.9, 0.95))
+        # Under TP, feature-sharded stacked params take the all_to_all NS
+        # path instead of a per-step full momentum replication.
+        spec_fn = None
+        if mesh is not None and "model" in mesh.axis_names and mesh.shape["model"] > 1:
+            from swift_tpu.parallel.sharding import _spec_for
+
+            spec_fn = lambda path, leaf: _spec_for(path, leaf, "model")
         opt = muon_with_aux_adam(
             muon_param_labels,
             lr=sched(cfg.get("lr", 0.02)),
@@ -303,6 +310,7 @@ def build_optimizer(
             adam_weight_decay=float(cfg.get("adam_weight_decay", 0.01)),
             adam_eps=float(cfg.get("adam_eps", 1e-10)),
             mesh=mesh,
+            param_spec_fn=spec_fn,
         )
         return opt, schedules[0]
     if target == "MARS":

@@ -134,14 +134,15 @@ class ModulatedNorm(nn.Module):
         use_pallas = self.use_pallas
         if use_pallas is None:
             use_pallas = jax.default_backend() == "tpu"
-        if use_pallas and residual is not None:
-            # jvp=True routes through the custom_jvp entry with the fused
-            # tangent kernel (the sCM jvp forward no longer falls back to
-            # the 3-pass jnp epilogue — r2 VERDICT weak #1).
+        # jvp stays on the jnp path: the fused tangent kernel (pallas_modnorm
+        # _mn_jvp_capable) MEASURED SLOWER on chip — XLA fuses the LN tangent
+        # chain into neighbouring ops, the standalone kernel can't
+        # (scripts/probe_jvp_variants.py, PERF.md r3 ledger).
+        if use_pallas and not jvp and residual is not None:
             try:
                 return sharded_modnorm_residual(
                     x, residual, g, b, scale, shift, self.eps,
-                    mesh=self.mesh, data_axis=self.data_axis, jvp=jvp,
+                    mesh=self.mesh, data_axis=self.data_axis,
                 )
             except ValueError:
                 pass
@@ -196,18 +197,20 @@ class FeedForward(nn.Module):
             use_pallas=self.use_pallas, mesh=self.mesh,
             data_axis=self.data_axis,
         )
-        fused = use_pallas and self.mesh is None
+        # jvp routes to the jnp path below: the jvp-capable fused kernels
+        # (pallas_ffn custom_jvp tangent) MEASURED SLOWER on chip — the
+        # tangent kernel's gate/up recompute (+2 matmuls) loses to XLA's
+        # primal/tangent CSE (scripts/probe_jvp_variants.py, PERF.md r3).
+        fused = use_pallas and not jvp and self.mesh is None
         if fused:
             # FFN matmul chain fused; the norm+residual epilogue stays a
             # separate pallas pass — folding it INTO this kernel measured
             # slower (the VPU epilogue serializes against the MXU matmuls
             # within one program; standalone it overlaps the next block).
-            # jvp=True selects the custom_jvp entries (fused tangent
-            # kernels) instead of dropping to the jnp path.
             from swift_tpu.ops.pallas_ffn import fused_swiglu_ffn
 
             try:
-                y = fused_swiglu_ffn(x.astype(self.dtype), k1, k2, jvp=jvp)
+                y = fused_swiglu_ffn(x.astype(self.dtype), k1, k2)
                 return norm(y, t, residual=inputs, jvp=jvp)
             except ValueError:  # token count doesn't tile -> jnp path
                 pass

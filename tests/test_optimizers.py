@@ -156,3 +156,71 @@ def test_muon_sharded_ns_both_axes_matches_unsharded():
         np.testing.assert_allclose(
             np.asarray(up[k]), np.asarray(ref_up[k]), rtol=2e-2, atol=2e-2
         )
+
+
+def test_muon_tp_aware_ns_matches_and_avoids_full_gather():
+    """TP-aware NS (r2 VERDICT #6): stacked params whose feature dim is
+    sharded over `model` take the all_to_all path. Must (a) match the
+    unsharded update, (b) compile WITHOUT any all-gather that materializes
+    the full stacked momentum on a device (the old replicate->slice staging
+    did exactly that every step)."""
+    import numpy as np
+    from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+    from swift_tpu.training.optimizers.muon import scale_by_muon
+
+    mesh = Mesh(np.array(jax.devices()).reshape(4, 2), ("data", "model"))
+    # column-parallel qkv-like: (stack, in, out) with out over model;
+    # row-parallel w2-like: (stack, hidden, out) with hidden over model.
+    specs = {
+        "qkv": P(None, None, "model"),
+        "w2": P(None, "model", None),
+    }
+    params = {
+        "qkv": jnp.zeros((6, 16, 24)),
+        "w2": jnp.zeros((6, 24, 16)),
+    }
+    grads = {
+        "qkv": jax.random.normal(jax.random.PRNGKey(0), (6, 16, 24)),
+        "w2": jax.random.normal(jax.random.PRNGKey(1), (6, 24, 16)),
+    }
+
+    def spec_fn(path, leaf):
+        name = str(getattr(path[-1], "key", path[-1]))
+        return specs[name]
+
+    ref_tx = scale_by_muon(mesh=None)
+    tx = scale_by_muon(mesh=mesh, shard_axis=("data", "model"),
+                       param_spec_fn=spec_fn)
+    ref_up, _ = ref_tx.update(grads, ref_tx.init(params), params)
+
+    shardings = {k: NamedSharding(mesh, s) for k, s in specs.items()}
+    grads_sh = jax.tree_util.tree_map(jax.device_put, grads, shardings)
+    params_sh = jax.tree_util.tree_map(jax.device_put, params, shardings)
+
+    with mesh:
+        state = jax.jit(tx.init)(params_sh)
+        step = jax.jit(lambda g, s, p: tx.update(g, s, p)[0])
+        lowered = step.lower(grads_sh, state, params_sh)
+        compiled = lowered.compile()
+        up = compiled(grads_sh, state, params_sh)
+
+    for k in params:
+        np.testing.assert_allclose(
+            np.asarray(up[k]), np.asarray(ref_up[k]), rtol=2e-2, atol=2e-2,
+            err_msg=f"update mismatch for {k}",
+        )
+
+    # HLO check: no all-gather may produce the FULL per-device stacked
+    # array (6 or padded 8 x 16 x 24 f32/bf16) — shapes in SPMD HLO are
+    # per-device local shapes.
+    hlo = compiled.as_text()
+    bad = [
+        ln for ln in hlo.splitlines()
+        if "all-gather" in ln and any(
+            f"[{p},16,24]" in ln or f"[{p},24,16]" in ln
+            or f"[{p},16,128]" in ln  # padded-lane variants
+            for p in (6, 8)
+        )
+    ]
+    assert not bad, "full-stack all-gather found in HLO:\n" + "\n".join(bad)
