@@ -1,12 +1,17 @@
 """0.25° (721×1440 → padded 736×1440) flagship-class forward on one chip.
 
 Demonstrates the resolution-scaling path: `pad_lat_to_grid` brings the
-721-row WB2 latitude axis to a patch×window-aligned 736, the block-attention
-kernel's VMEM gate falls back to the per-head path at this grid (the
-(gh, gw, d) tile would be ~135 MB), and the fused FFN/modnorm kernels still
-engage. Reports s/forward and achieved TF/s on the real chip.
+721-row WB2 latitude axis to a patch×window-aligned 736; the WINDOW-TILED
+block-attention kernel (r3, fused_tiled_block_attention) engages at this
+grid — the whole-grid kernel's VMEM gate rejects it (135 MB tile) and used
+to drop to the per-head path at 34% MFU. Reports device s/forward from a
+profiler trace (wall clock through the dev tunnel is dispatch-bound).
 """
 
+import glob
+import gzip
+import json
+import shutil
 import sys
 import time
 
@@ -67,15 +72,34 @@ def main():
     print(f"  {time.time() - t0:.1f}s; out {o.shape}", flush=True)
     assert bool(jnp.isfinite(o).all())
 
-    N = 5
-    t0 = time.time()
+    N = 3
+    outdir = "/tmp/swift_probe_qdeg"
+    shutil.rmtree(outdir, ignore_errors=True)
+    jax.profiler.start_trace(outdir)
     for _ in range(N):
         o = fwd(params, x, cond, None)
     o.block_until_ready()
-    dt = (time.time() - t0) / N
+    jax.profiler.stop_trace()
+
+    traces = sorted(glob.glob(outdir + "/**/*.trace.json.gz", recursive=True))
+    with gzip.open(traces[-1], "rt") as f:
+        data = json.load(f)
+    pid_names = {
+        e["pid"]: e["args"].get("name", "")
+        for e in data.get("traceEvents", [])
+        if e.get("ph") == "M" and e.get("name") == "process_name"
+    }
+    dev_pids = {p for p, n in pid_names.items() if "TPU" in n}
+    dt = sum(
+        e.get("dur", 0) / 1e6
+        for e in data.get("traceEvents", [])
+        if e.get("ph") == "X"
+        and (not dev_pids or e.get("pid") in dev_pids)
+        and e.get("name", "").startswith("jit_fwd")
+    ) / N
     # ~8.8x the 1.4-degree per-sample forward flops (2.72 TF)
     tf = 2.72 * (736 * 1440) / (128 * 256) * B
-    print(f"0.25deg forward @ B={B}: {dt:.3f} s = {tf / dt:.0f} TF/s "
+    print(f"0.25deg forward @ B={B}: {dt:.3f} s device = {tf / dt:.0f} TF/s "
           f"({tf / dt / 197 * 100:.0f}% MFU)", flush=True)
 
 

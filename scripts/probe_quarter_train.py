@@ -1,0 +1,132 @@
+"""One 0.25° flagship sCM TRAIN step on one chip (r3 VERDICT #3).
+
+736×1440 padded grid, batch 1, scan-over-layers remat on, full sCM loss
+(primal + jvp forward + backward) + Muon update. Reports device s/step from
+a profiler trace. The window-tiled block-attention kernel and its custom
+vjp/jvp rules carry the attention work at this grid.
+"""
+
+from __future__ import annotations
+
+import glob
+import gzip
+import json
+import shutil
+import sys
+import time
+
+sys.path.insert(0, "/root/repo")
+
+import numpy as np
+
+OUTDIR = "/tmp/swift_probe_qtrain"
+
+
+def log(m):
+    print(m, flush=True)
+
+
+def main():
+    import jax
+
+    jax.config.update("jax_compilation_cache_dir", "/root/repo/.cache/jax")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    import jax.numpy as jnp
+    import optax
+
+    from swift_tpu.data.constants import default_variables_69
+    from swift_tpu.models.precond import PassPrecond
+    from swift_tpu.models.swinv2 import SwinV2
+    from swift_tpu.training.loss import SCMLoss
+    from swift_tpu.training.optimizers import muon_with_aux_adam
+    from swift_tpu.training.trainer import muon_param_labels
+
+    B, H, W = 1, 736, 1440
+    C, F = 69, 3
+    model = SwinV2(
+        img_resolution=(H, W), in_channels=2 * C + F, out_channels=C,
+        window_size=(16, 16), shift_size=(8, 8), patch_size=(2, 2),
+        depth=12, dim=1056, heads=12, auxiliary_dim=1, logvar=True,
+        dtype=jnp.bfloat16, remat_layers=True,
+    )
+    pre = PassPrecond(
+        model=model, img_resolution=(H, W), img_channels=C,
+        condition_channels=C + F, auxiliary_dim=1, sigma_data=1.0,
+    )
+    loss = SCMLoss(
+        precond=pre, lat_dim=H, variables=tuple(default_variables_69()),
+        noise={"dist": "loguniform", "sigma_min": 0.02, "sigma_max": 200.0},
+        tangent_warmup_kimg=10000,
+    )
+    optimizer = muon_with_aux_adam(muon_param_labels, lr=0.02, adam_lr=3e-4)
+
+    rng = np.random.default_rng(0)
+    shapes = jax.eval_shape(lambda: pre.init(jax.random.PRNGKey(0)))
+    params = jax.tree_util.tree_map(
+        lambda s: (0.02 * rng.standard_normal(s.shape)).astype(s.dtype), shapes
+    )
+    params = jax.device_put(params, jax.devices()[0])
+    opt_state = jax.jit(optimizer.init)(params)
+    jax.block_until_ready(opt_state)
+
+    @jax.jit
+    def step(p, o, key, x, cond, aux):
+        def compute(pp):
+            return loss(pp, key, x, step=jnp.float32(1e5), condition=cond,
+                        auxiliary=aux)
+
+        l, grads = jax.value_and_grad(compute)(p)
+        grads = jax.tree_util.tree_map(
+            lambda g: jnp.nan_to_num(g, nan=0.0, posinf=1e5, neginf=-1e5),
+            grads,
+        )
+        updates, o = optimizer.update(grads, o, p)
+        p = optax.apply_updates(p, updates)
+        return l, p, o
+
+    x = jnp.asarray(rng.normal(size=(B, H, W, C)).astype(np.float32))
+    cond = jnp.asarray(rng.normal(size=(B, H, W, C + F)).astype(np.float32))
+    aux = jnp.full((B, 1), 0.6, jnp.float32)
+
+    log("compile...")
+    t0 = time.perf_counter()
+    l, params, opt_state = step(params, opt_state, jax.random.PRNGKey(1), x,
+                                cond, aux)
+    jax.block_until_ready(l)
+    log(f"  {time.perf_counter() - t0:.1f}s; loss {float(l):.4f}")
+    assert np.isfinite(float(l))
+
+    shutil.rmtree(OUTDIR, ignore_errors=True)
+    jax.profiler.start_trace(OUTDIR)
+    N = 2
+    for i in range(N):
+        l, params, opt_state = step(params, opt_state, jax.random.PRNGKey(i),
+                                    x, cond, aux)
+    jax.block_until_ready(l)
+    jax.profiler.stop_trace()
+
+    traces = sorted(glob.glob(OUTDIR + "/**/*.trace.json.gz", recursive=True))
+    with gzip.open(traces[-1], "rt") as f:
+        data = json.load(f)
+    pid_names = {
+        e["pid"]: e["args"].get("name", "")
+        for e in data.get("traceEvents", [])
+        if e.get("ph") == "M" and e.get("name") == "process_name"
+    }
+    dev_pids = {p for p, n in pid_names.items() if "TPU" in n}
+    dt = sum(
+        e.get("dur", 0) / 1e6
+        for e in data.get("traceEvents", [])
+        if e.get("ph") == "X"
+        and (not dev_pids or e.get("pid") in dev_pids)
+        and e.get("name", "").startswith("jit_step")
+    ) / N
+    # 6x-fwd FLOP model: fwd 2.72 TF at 1.4deg per sample, x (736*1440)/(128*256)
+    fwd_tf = 2.72 * (736 * 1440) / (128 * 256) * B
+    tf = 6 * fwd_tf
+    log(f"0.25deg sCM train step @ B={B}: {dt:.3f} s device = "
+        f"{tf / dt:.0f} TF/s ({tf / dt / 197 * 100:.0f}% train MFU)")
+
+
+if __name__ == "__main__":
+    main()

@@ -296,12 +296,24 @@ class WindowAttention(nn.Module):
         if use_pallas is None:
             use_pallas = jax.default_backend() == "tpu"
 
-        if (
-            use_pallas
-            and block_attention_eligible(
+        kind = None
+        if use_pallas:
+            if block_attention_eligible(
                 (gh, gw), (wh, ww), (sh, sw), self.heads, inner
-            )
-        ):
+            ):
+                kind = "block"
+            elif self.mesh is None:
+                from swift_tpu.ops.pallas_block_attention import (
+                    tiled_block_attention_eligible,
+                )
+
+                if tiled_block_attention_eligible(
+                    (gh, gw), (wh, ww), self.heads, inner
+                ):
+                    # grids too large for the whole-grid kernel (0.25°):
+                    # window-tiled variant, shift via one XLA roll.
+                    kind = "tiled"
+        if kind:
             dp = _padded_dim(self.head_dim)
             kp = k_qkv.reshape(x.shape[-1], self.heads, 3, self.head_dim)
             if dp != self.head_dim:
@@ -313,11 +325,21 @@ class WindowAttention(nn.Module):
             # column-parallel qkv: features are heads-major chunks, so
             # sharding them over `model` IS the per-head split.
             qkv = _wsc(qkv, self.mesh, self.data_axis, None, None, self.model_axis)
-            out = sharded_block_attention(
-                qkv, logit_scale, self.heads, (wh, ww), (sh, sw),
-                mesh=self.mesh, data_axis=self.data_axis,
-                model_axis=self.model_axis, jvp=jvp,
-            ).astype(self.dtype)
+            if kind == "block":
+                out = sharded_block_attention(
+                    qkv, logit_scale, self.heads, (wh, ww), (sh, sw),
+                    mesh=self.mesh, data_axis=self.data_axis,
+                    model_axis=self.model_axis, jvp=jvp,
+                ).astype(self.dtype)
+            else:
+                from swift_tpu.ops.pallas_block_attention import (
+                    fused_tiled_block_attention,
+                )
+
+                out = fused_tiled_block_attention(
+                    qkv, logit_scale, self.heads, (wh, ww), (sh, sw),
+                    jvp=jvp,
+                ).astype(self.dtype)
             # stay in the padded (heads·dp) layout: wo's rows get the same
             # zero padding, so the slice back to heads·d never materializes
             # (the attention kernel writes zeros in the pad lanes).

@@ -528,6 +528,373 @@ def sharded_block_attention(
     )(qkv, scale)
 
 
+# ---------------------------------------------------------------------------
+# Window-tiled variant for LARGE grids (r2 VERDICT weak #2 / next #3).
+#
+# The kernel above holds one full (gh, gw, d) head tile in VMEM, which caps
+# it at ~24 MB — the 0.25° WB2 grid (721x1440 -> 368x720 tokens after
+# patching) needs ~135 MB and fell back to the per-head path at 34% MFU.
+# Here a program owns a TILE of window rows: grid (B, heads, gh/bh) with
+# (1, bh, gw, d) blocks, bh = th·wh. The cyclic shift is handled by ONE
+# XLA roll of qkv before the kernel (and un-roll of the output) instead of
+# in-kernel wrapped gathers: at 0.25° the roll costs ~8 ms/layer of HBM
+# traffic, far less than the 2/3 of MXU time the per-head path wastes.
+# Windows inside the kernel are therefore perfectly aligned static slices.
+
+
+def tiled_block_attention_eligible(
+    grid_size, window_size, heads: int, dim_inner: int
+) -> bool:
+    """Static gate for the window-tiled kernel (no shift constraints — the
+    roll handles any shift; width wrap never reaches the kernel)."""
+    gh, gw = grid_size
+    wh, ww = window_size
+    d, rem = divmod(dim_inner, heads)
+    if rem:
+        return False
+    if gh % wh or gw % ww:
+        return False
+    # column slices act on the sublane dim of the (bh, gw, d) tile
+    if gw // ww > 1 and ww % 8:
+        return False
+    if wh * ww > 1024:
+        return False
+    # one window-row of q/k/v/out, double-buffered, must fit comfortably
+    if 8 * wh * gw * _padded_dim(d) * 2 > 48 * 1024 * 1024:
+        return False
+    return True
+
+
+def _pick_row_tile(gh: int, gw: int, wh: int, dp: int) -> int:
+    """Largest th (window-rows per program) dividing gh//wh whose bf16
+    q/k/v/out tiles, double-buffered, stay under ~48 MB of VMEM."""
+    nrow = gh // wh
+    best = 1
+    for th in range(1, nrow + 1):
+        if nrow % th:
+            continue
+        if 8 * th * wh * gw * dp * 2 <= 48 * 1024 * 1024:
+            best = th
+    return best
+
+
+def _tiled_specs(B, gh, gw, heads, d, bh):
+    block = (1, bh, gw, d)
+
+    def chunk(off):
+        return pl.BlockSpec(
+            block, lambda b, h, r, off=off: (b, r, 0, 3 * h + off),
+            memory_space=pltpu.VMEM,
+        )
+
+    s_spec = pl.BlockSpec(
+        (1, 1, 1, 1), lambda b, h, r: (0, h, 0, 0), memory_space=pltpu.VMEM
+    )
+    return [chunk(0), chunk(1), chunk(2), s_spec]
+
+
+def _tiled_fwd_kernel(q_ref, k_ref, v_ref, s_ref, o_ref, *, wh, ww):
+    s = s_ref[0, 0, 0, 0]
+    q, k, v = q_ref[0], k_ref[0], v_ref[0]  # (bh, gw, d)
+    bh, gw, d = q.shape
+    mm = jnp.bfloat16 if o_ref.dtype == jnp.bfloat16 else o_ref.dtype
+    for rw in range(bh // wh):
+        for j in range(gw // ww):
+            r0, c0 = rw * wh, j * ww
+            qw = q[r0:r0 + wh, c0:c0 + ww].reshape(wh * ww, d)
+            kw = k[r0:r0 + wh, c0:c0 + ww].reshape(wh * ww, d)
+            vw = v[r0:r0 + wh, c0:c0 + ww].reshape(wh * ww, d)
+            o = _window_attn_fwd(qw, kw, vw, s, mm)
+            o_ref[0, r0:r0 + wh, c0:c0 + ww, :] = (
+                o.astype(o_ref.dtype).reshape(wh, ww, d)
+            )
+
+
+def _tiled_fwd_call(qkv, scale, heads, window_size, th):
+    B, gh, gw, feat = qkv.shape
+    d = feat // (3 * heads)
+    wh, ww = window_size
+    bh = th * wh
+    n = wh * ww
+    nW = (gh // wh) * (gw // ww)
+    kern = functools.partial(_tiled_fwd_kernel, wh=wh, ww=ww)
+    return pl.pallas_call(
+        kern,
+        grid=(B, heads, gh // bh),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
+        in_specs=_tiled_specs(B, gh, gw, heads, d, bh),
+        out_specs=pl.BlockSpec(
+            (1, bh, gw, d), lambda b, h, r: (b, r, 0, h),
+            memory_space=pltpu.VMEM,
+        ),
+        out_shape=jax.ShapeDtypeStruct((B, gh, gw, heads * d), qkv.dtype),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * B * heads * nW * (2 * n * n * d),
+            bytes_accessed=4 * B * gh * gw * heads * d * qkv.dtype.itemsize,
+            transcendentals=B * heads * nW * n * n,
+        ),
+    )(qkv, qkv, qkv, scale.reshape(1, heads, 1, 1).astype(jnp.float32))
+
+
+def _tiled_bwd_kernel(
+    q_ref, k_ref, v_ref, s_ref, do_ref, dqkv_ref, dsp_ref, *, wh, ww
+):
+    s = s_ref[0, 0, 0, 0]
+    q, k, v = q_ref[0], k_ref[0], v_ref[0]
+    do = do_ref[0]
+    bh, gw, d = q.shape
+    mm = jnp.bfloat16 if do_ref.dtype == jnp.bfloat16 else jnp.float32
+    ds_total = jnp.zeros((), jnp.float32)
+    n = wh * ww
+    for rw in range(bh // wh):
+        for j in range(gw // ww):
+            r0, c0 = rw * wh, j * ww
+            qf = q[r0:r0 + wh, c0:c0 + ww].reshape(n, d).astype(jnp.float32)
+            kf = k[r0:r0 + wh, c0:c0 + ww].reshape(n, d).astype(jnp.float32)
+            vw = v[r0:r0 + wh, c0:c0 + ww].reshape(n, d)
+            dow = do[r0:r0 + wh, c0:c0 + ww].reshape(n, d).astype(jnp.float32)
+
+            rq = jax.lax.rsqrt(jnp.sum(qf * qf, -1, keepdims=True) + _EPS)
+            rk = jax.lax.rsqrt(jnp.sum(kf * kf, -1, keepdims=True) + _EPS)
+            qh = qf * rq
+            kh = kf * rk
+            qn = qh * s
+            logits = jax.lax.dot_general(
+                qn.astype(mm), kh.astype(mm), (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            m = jnp.max(logits, -1, keepdims=True)
+            e = jnp.exp(logits - m)
+            p = e / jnp.sum(e, -1, keepdims=True)
+
+            dv = jax.lax.dot_general(
+                p.astype(mm), dow.astype(mm), (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            dp = jax.lax.dot_general(
+                dow.astype(mm), vw.astype(mm), (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            dS = p * (dp - jnp.sum(p * dp, -1, keepdims=True))
+            ds_total += jnp.sum(dS * logits) / s
+            dqn = jnp.dot(dS.astype(mm), kh.astype(mm),
+                          preferred_element_type=jnp.float32)
+            dkh = jax.lax.dot_general(
+                dS.astype(mm), qn.astype(mm), (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            dqh = dqn * s
+            dqf = (dqh - qh * jnp.sum(dqh * qh, -1, keepdims=True)) * rq
+            dkf = (dkh - kh * jnp.sum(dkh * kh, -1, keepdims=True)) * rk
+            tile = jnp.concatenate(
+                [dqf.astype(dqkv_ref.dtype).reshape(wh, ww, d),
+                 dkf.astype(dqkv_ref.dtype).reshape(wh, ww, d),
+                 dv.astype(dqkv_ref.dtype).reshape(wh, ww, d)],
+                axis=-1,
+            )
+            dqkv_ref[0, r0:r0 + wh, c0:c0 + ww, :] = tile
+    dsp_ref[...] = jnp.broadcast_to(ds_total, (1, 1, 1, 1))
+
+
+def _tiled_bwd_call(qkv, scale, dout, heads, window_size, th):
+    B, gh, gw, feat = qkv.shape
+    d = feat // (3 * heads)
+    wh, ww = window_size
+    bh = th * wh
+    nrt = gh // bh
+    n = wh * ww
+    nW = (gh // wh) * (gw // ww)
+    kern = functools.partial(_tiled_bwd_kernel, wh=wh, ww=ww)
+    in_specs = _tiled_specs(B, gh, gw, heads, d, bh) + [
+        pl.BlockSpec((1, bh, gw, d), lambda b, h, r: (b, r, 0, h),
+                     memory_space=pltpu.VMEM)
+    ]
+    dqkv, dsp = pl.pallas_call(
+        kern,
+        grid=(B, heads, nrt),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
+        in_specs=in_specs,
+        out_specs=[
+            pl.BlockSpec((1, bh, gw, 3 * d), lambda b, h, r: (b, r, 0, h),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, 1, 1), lambda b, h, r: (b, h, r, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct(qkv.shape, qkv.dtype),
+            jax.ShapeDtypeStruct((B, heads, nrt, 1), jnp.float32),
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=2 * B * heads * nW * (5 * n * n * d),
+            bytes_accessed=8 * B * gh * gw * heads * d * qkv.dtype.itemsize,
+            transcendentals=B * heads * nW * n * n,
+        ),
+    )(qkv, qkv, qkv, scale.reshape(1, heads, 1, 1).astype(jnp.float32), dout)
+    return dqkv, dsp.reshape(B, heads, nrt).sum(axis=(0, 2)).astype(scale.dtype)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4))
+def _tba_padded(qkv, scale, heads, window_size, th):
+    """Tiled kernel entry at lane-aligned head width; qkv pre-rolled."""
+    return _tiled_fwd_call(qkv, scale, heads, window_size, th)
+
+
+def _tba_fwd(qkv, scale, heads, window_size, th):
+    return _tiled_fwd_call(qkv, scale, heads, window_size, th), (qkv, scale)
+
+
+def _tba_bwd(heads, window_size, th, res, dout):
+    qkv, scale = res
+    return _tiled_bwd_call(qkv, scale, dout.astype(qkv.dtype), heads,
+                           window_size, th)
+
+
+_tba_padded.defvjp(_tba_fwd, _tba_bwd)
+
+
+def _tiled_tangent_kernel(
+    q_ref, k_ref, v_ref, dq_ref, dk_ref, dv_ref, s_ref, do_ref, *, wh, ww
+):
+    s = s_ref[0, 0, 0, 0]
+    q, k, v = q_ref[0], k_ref[0], v_ref[0]
+    dq, dk, dv = dq_ref[0], dk_ref[0], dv_ref[0]
+    bh, gw, d = q.shape
+    mm = jnp.bfloat16 if do_ref.dtype == jnp.bfloat16 else jnp.float32
+    n = wh * ww
+    for rw in range(bh // wh):
+        for j in range(gw // ww):
+            r0, c0 = rw * wh, j * ww
+            sl = (slice(r0, r0 + wh), slice(c0, c0 + ww))
+            qf = q[sl].reshape(n, d).astype(jnp.float32)
+            kf = k[sl].reshape(n, d).astype(jnp.float32)
+            vw = v[sl].reshape(n, d)
+            dqf = dq[sl].reshape(n, d).astype(jnp.float32)
+            dkf = dk[sl].reshape(n, d).astype(jnp.float32)
+            dvw = dv[sl].reshape(n, d)
+
+            rq = jax.lax.rsqrt(jnp.sum(qf * qf, -1, keepdims=True) + _EPS)
+            rk = jax.lax.rsqrt(jnp.sum(kf * kf, -1, keepdims=True) + _EPS)
+            qh = qf * rq
+            kh = kf * rk
+            dqh = (dqf - qh * jnp.sum(qh * dqf, -1, keepdims=True)) * rq
+            dkh = (dkf - kh * jnp.sum(kh * dkf, -1, keepdims=True)) * rk
+            qn, dqn = qh * s, dqh * s
+
+            logits = jax.lax.dot_general(
+                qn.astype(mm), kh.astype(mm), (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            m = jnp.max(logits, -1, keepdims=True)
+            e = jnp.exp(logits - m)
+            p = e / jnp.sum(e, -1, keepdims=True)
+            dS = (
+                jax.lax.dot_general(
+                    dqn.astype(mm), kh.astype(mm), (((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )
+                + jax.lax.dot_general(
+                    qn.astype(mm), dkh.astype(mm), (((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )
+            )
+            dpv = p * (dS - jnp.sum(p * dS, -1, keepdims=True))
+            dout = (
+                jnp.dot(dpv.astype(mm), vw.astype(mm),
+                        preferred_element_type=jnp.float32)
+                + jnp.dot(p.astype(mm), dvw.astype(mm),
+                          preferred_element_type=jnp.float32)
+            )
+            do_ref[0, r0:r0 + wh, c0:c0 + ww, :] = (
+                dout.astype(do_ref.dtype).reshape(wh, ww, d)
+            )
+
+
+def _tiled_tangent_call(qkv, dqkv, scale, heads, window_size, th):
+    B, gh, gw, feat = qkv.shape
+    d = feat // (3 * heads)
+    wh, ww = window_size
+    bh = th * wh
+    n = wh * ww
+    nW = (gh // wh) * (gw // ww)
+    kern = functools.partial(_tiled_tangent_kernel, wh=wh, ww=ww)
+    specs = _tiled_specs(B, gh, gw, heads, d, bh)
+    in_specs = specs[:3] + specs[:3] + [specs[3]]
+    return pl.pallas_call(
+        kern,
+        grid=(B, heads, gh // bh),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec(
+            (1, bh, gw, d), lambda b, h, r: (b, r, 0, h),
+            memory_space=pltpu.VMEM,
+        ),
+        out_shape=jax.ShapeDtypeStruct((B, gh, gw, heads * d), qkv.dtype),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * B * heads * nW * (5 * n * n * d),
+            bytes_accessed=7 * B * gh * gw * heads * d * qkv.dtype.itemsize,
+            transcendentals=B * heads * nW * n * n,
+        ),
+    )(qkv, qkv, qkv, dqkv, dqkv, dqkv,
+      scale.reshape(1, heads, 1, 1).astype(jnp.float32))
+
+
+@functools.partial(jax.custom_jvp, nondiff_argnums=(2, 3, 4))
+def _tba_jvp_capable(qkv, scale, heads, window_size, th):
+    """Tiled kernel with a forward-mode rule (same contract as
+    _fba_jvp_capable: tangent inputs stop_gradient'ed, scale tangent
+    assumed zero — exact for the sCM loss)."""
+    return _tiled_fwd_call(qkv, scale, heads, window_size, th)
+
+
+@_tba_jvp_capable.defjvp
+def _tba_jvp_rule(heads, window_size, th, primals, tangents):
+    qkv, scale = primals
+    dqkv, _ = tangents
+    o = _tba_padded(qkv, scale, heads, window_size, th)
+    do = _tiled_tangent_call(
+        jax.lax.stop_gradient(qkv),
+        jax.lax.stop_gradient(dqkv),
+        jax.lax.stop_gradient(scale),
+        heads, window_size, th,
+    )
+    return o, do
+
+
+def fused_tiled_block_attention(qkv, scale, heads, window_size, shift=(0, 0),
+                                jvp=False):
+    """Window-tiled fused block attention for grids too large for the
+    whole-grid kernel (same qkv layout contract as fused_block_attention).
+
+    The shift is ONE cyclic roll of qkv before the kernel (+ the inverse on
+    the output); everything inside the kernel is aligned static slices, so
+    there are no shift-alignment constraints at all."""
+    B, gh, gw, feat = qkv.shape
+    d = feat // (3 * heads)
+    dp = _padded_dim(d)
+    if dp != d:
+        q5 = qkv.reshape(B, gh, gw, 3 * heads, d)
+        q5 = jnp.pad(q5, ((0, 0),) * 4 + ((0, dp - d),))
+        qkv = q5.reshape(B, gh, gw, 3 * heads * dp)
+    sh, sw = shift
+    if sh or sw:
+        qkv = jnp.roll(qkv, (-sh, -sw), axis=(1, 2))
+    th = _pick_row_tile(gh, gw, window_size[0], dp)
+    fn = _tba_jvp_capable if jvp else _tba_padded
+    out = fn(qkv, scale, heads, window_size, th)
+    if sh or sw:
+        out = jnp.roll(out, (sh, sw), axis=(1, 2))
+    if dp != d:
+        out = out.reshape(B, gh, gw, heads, dp)[..., :d]
+        out = out.reshape(B, gh, gw, heads * d)
+    return out
+
+
 def reference_block_attention(qkv, scale, heads, window_size, shift=(0, 0)):
     """jnp reference: identical math via explicit roll/partition/transposes.
 

@@ -286,3 +286,105 @@ def test_shard_mapped_block_attention_matches():
     np.testing.assert_allclose(
         np.asarray(out_tp), np.asarray(out_plain), rtol=2e-5, atol=2e-5
     )
+
+
+@pytest.mark.parametrize("shift", [(0, 0), (2, 8), (3, 4)])
+def test_tiled_forward_backward_jvp_match_reference(shift):
+    """Window-tiled variant (large-grid kernel, r3): fwd/bwd/jvp == the jnp
+    reference. shift (3, 4) is NOT expressible by the whole-grid kernel
+    (width shift not 8-aligned) — the roll-based tiled kernel has no shift
+    constraints."""
+    gh, gw, win = 8, 32, (4, 8)
+    assert pba.tiled_block_attention_eligible((gh, gw), win, HEADS, HEADS * D)
+    ks = jax.random.split(jax.random.PRNGKey(31), 3)
+    qkv = jax.random.normal(ks[0], (B, gh, gw, FEAT), jnp.float32)
+    scale = jnp.exp(jax.random.normal(ks[1], (HEADS,)) * 0.1 + 1.0)
+    tqkv = jax.random.normal(ks[2], qkv.shape)
+
+    out_p = pba.fused_tiled_block_attention(qkv, scale, HEADS, win, shift)
+    out_r = pba.reference_block_attention(qkv, scale, HEADS, win, shift)
+    np.testing.assert_allclose(np.asarray(out_p), np.asarray(out_r),
+                               rtol=2e-5, atol=2e-5)
+
+    gp = jax.grad(
+        lambda a, s: jnp.sum(
+            pba.fused_tiled_block_attention(a, s, HEADS, win, shift) ** 2
+        ),
+        argnums=(0, 1),
+    )(qkv, scale)
+    gr = jax.grad(
+        lambda a, s: jnp.sum(
+            pba.reference_block_attention(a, s, HEADS, win, shift) ** 2
+        ),
+        argnums=(0, 1),
+    )(qkv, scale)
+    for a, b, name in zip(gp, gr, ["dqkv", "dscale"]):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=2e-4, atol=2e-4,
+            err_msg=f"mismatch in {name}",
+        )
+
+    _, dop = jax.jvp(
+        lambda a: pba.fused_tiled_block_attention(a, scale, HEADS, win,
+                                                  shift, jvp=True),
+        (qkv,), (tqkv,),
+    )
+    _, dor = jax.jvp(
+        lambda a: pba.reference_block_attention(a, scale, HEADS, win, shift),
+        (qkv,), (tqkv,),
+    )
+    np.testing.assert_allclose(np.asarray(dop), np.asarray(dor),
+                               rtol=2e-4, atol=2e-4)
+
+
+def test_tiled_row_tile_picker():
+    # 0.25° flagship shape: 368x720 grid, 16-wide windows, d=128
+    th = pba._pick_row_tile(368, 720, 16, 128)
+    assert th >= 1 and (368 // 16) % th == 0
+    # tiles must fit the budget
+    assert 8 * th * 16 * 720 * 128 * 2 <= 48 * 1024 * 1024
+    assert pba.tiled_block_attention_eligible((368, 720), (16, 16), 12,
+                                              12 * 88)
+    # and the whole-grid kernel correctly rejects this size
+    assert not pba.block_attention_eligible((368, 720), (16, 16), (8, 8), 12,
+                                            12 * 88)
+
+
+def test_swinv2_tiled_kernel_consistency():
+    """SwinV2 routes to the tiled kernel when the whole-grid kernel is
+    ineligible (here: width shift 4 not 8-aligned) and matches the jnp
+    path, value and grad."""
+    from swift_tpu.models.swinv2 import SwinV2
+
+    kw = dict(
+        img_resolution=(16, 64), in_channels=4, out_channels=2,
+        window_size=(4, 8), shift_size=(2, 4), patch_size=(2, 2),
+        depth=2, dim=24, heads=3, dtype=jnp.float32,
+    )
+    assert not pba.block_attention_eligible((8, 32), (4, 8), (2, 4), 3, 24)
+    assert pba.tiled_block_attention_eligible((8, 32), (4, 8), 3, 24)
+    x = jax.random.normal(jax.random.PRNGKey(0), (2, 16, 64, 4))
+    t = jnp.array([0.5, 0.25])
+    m_ref = SwinV2(use_pallas=False, **kw)
+    params = m_ref.init(jax.random.PRNGKey(1), x, t)["params"]
+    params = jax.tree_util.tree_map(
+        lambda a: a + 0.01 * jnp.ones_like(a), params
+    )
+    m_pal = SwinV2(use_pallas=True, **kw)
+
+    y_ref = m_ref.apply({"params": params}, x, t)
+    y_pal = m_pal.apply({"params": params}, x, t)
+    np.testing.assert_allclose(
+        np.asarray(y_pal), np.asarray(y_ref), rtol=2e-4, atol=2e-4
+    )
+
+    g_ref = jax.grad(lambda p: jnp.sum(m_ref.apply({"params": p}, x, t) ** 2))(params)
+    g_pal = jax.grad(lambda p: jnp.sum(m_pal.apply({"params": p}, x, t) ** 2))(params)
+    for (path, a), (_, b) in zip(
+        jax.tree_util.tree_leaves_with_path(g_pal),
+        jax.tree_util.tree_leaves_with_path(g_ref),
+    ):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=5e-3, atol=1e-5,
+            err_msg=f"grad mismatch at {jax.tree_util.keystr(path)}",
+        )
