@@ -1,4 +1,12 @@
-"""One 0.25° flagship sCM TRAIN step on one chip (r3 VERDICT #3).
+"""One 0.25° flagship TRAIN step on one chip (r3 VERDICT #3).
+
+Usage: python scripts/probe_quarter_train.py [scm|trigflow]
+
+sCM (jvp + fwd + bwd) needs ~17 GB at B=1 (the learned 0.25° pos_embed
+alone is 1.1 GB of params + as much momentum; measured ledger in PERF.md)
+— it runs on >=32 GB chips via the staged SCMLoss API or multi-chip via
+the latitude-sharded path. TrigFlow (the pretraining objective, no jvp)
+fits ONE 16 GB v5e and is the default measurement here.
 
 736×1440 padded grid, batch 1, scan-over-layers remat on, full sCM loss
 (primal + jvp forward + backward) + Muon update. Reports device s/step from
@@ -8,7 +16,9 @@ vjp/jvp rules carry the attention work at this grid.
 
 from __future__ import annotations
 
+import functools
 import glob
+import os
 import gzip
 import json
 import shutil
@@ -37,27 +47,29 @@ def main():
     from swift_tpu.data.constants import default_variables_69
     from swift_tpu.models.precond import PassPrecond
     from swift_tpu.models.swinv2 import SwinV2
-    from swift_tpu.training.loss import SCMLoss
+    from swift_tpu.training.loss import SCMLoss, TrigFlowLoss
     from swift_tpu.training.optimizers import muon_with_aux_adam
     from swift_tpu.training.trainer import muon_param_labels
 
+    which = sys.argv[1] if len(sys.argv) > 1 else "trigflow"
     B, H, W = 1, 736, 1440
     C, F = 69, 3
     model = SwinV2(
         img_resolution=(H, W), in_channels=2 * C + F, out_channels=C,
         window_size=(16, 16), shift_size=(8, 8), patch_size=(2, 2),
         depth=12, dim=1056, heads=12, auxiliary_dim=1, logvar=True,
-        dtype=jnp.bfloat16, remat_layers=True,
+        dtype=jnp.bfloat16, remat_layers=True, remat_blocks=os.environ.get("QT_REMAT_BLOCKS", "1") == "1",
     )
     pre = PassPrecond(
         model=model, img_resolution=(H, W), img_channels=C,
         condition_channels=C + F, auxiliary_dim=1, sigma_data=1.0,
     )
-    loss = SCMLoss(
+    lkw = dict(
         precond=pre, lat_dim=H, variables=tuple(default_variables_69()),
         noise={"dist": "loguniform", "sigma_min": 0.02, "sigma_max": 200.0},
-        tangent_warmup_kimg=10000,
     )
+    loss = (SCMLoss(tangent_warmup_kimg=10000, **lkw) if which == "scm"
+            else TrigFlowLoss(**lkw))
     optimizer = muon_with_aux_adam(muon_param_labels, lr=0.02, adam_lr=3e-4)
 
     rng = np.random.default_rng(0)
@@ -69,11 +81,26 @@ def main():
     opt_state = jax.jit(optimizer.init)(params)
     jax.block_until_ready(opt_state)
 
+    # TWO device programs (SCMLoss staged API): the jvp forward and the
+    # main fwd+bwd+update don't fit one program at this grid — staging
+    # makes the HBM peak max() of the stages instead of their sum.
     @jax.jit
-    def step(p, o, key, x, cond, aux):
+    def jvp_stage(p, key, x, cond, aux):
+        # bf16 handoff: halves the cross-program dF buffer
+        return loss.jvp_term(p, key, x, condition=cond, auxiliary=aux,
+                             out_dtype=jnp.bfloat16)
+
+    # donate params/opt_state like the real Trainer's step — without it the
+    # in/out copies alone overflow HBM at this grid (17.49 vs 15.75 GB).
+    # x/cond/dF are donated too: not needed after the step, and the
+    # freed arg space relieves the allocator (43% fragmentation here)
+    @functools.partial(jax.jit, donate_argnums=(0, 1, 3, 4, 6))
+    def step(p, o, key, x, cond, aux, dF):
         def compute(pp):
-            return loss(pp, key, x, step=jnp.float32(1e5), condition=cond,
-                        auxiliary=aux)
+            if which == "scm":
+                return loss(pp, key, x, step=jnp.float32(1e5), condition=cond,
+                            auxiliary=aux, dF_x=dF)
+            return loss(pp, key, x, condition=cond, auxiliary=aux)
 
         l, grads = jax.value_and_grad(compute)(p)
         grads = jax.tree_util.tree_map(
@@ -84,14 +111,20 @@ def main():
         p = optax.apply_updates(p, updates)
         return l, p, o
 
-    x = jnp.asarray(rng.normal(size=(B, H, W, C)).astype(np.float32))
-    cond = jnp.asarray(rng.normal(size=(B, H, W, C + F)).astype(np.float32))
+    x_np = rng.normal(size=(B, H, W, C)).astype(np.float32)
+    cond_np = rng.normal(size=(B, H, W, C + F)).astype(np.float32)
     aux = jnp.full((B, 1), 0.6, jnp.float32)
+
+    def fresh():
+        return jnp.asarray(x_np), jnp.asarray(cond_np)
 
     log("compile...")
     t0 = time.perf_counter()
+    x, cond = fresh()
+    dF = (jvp_stage(params, jax.random.PRNGKey(1), x, cond, aux)
+          if which == "scm" else jnp.zeros((B, H, W, C), jnp.bfloat16))
     l, params, opt_state = step(params, opt_state, jax.random.PRNGKey(1), x,
-                                cond, aux)
+                                cond, aux, dF)
     jax.block_until_ready(l)
     log(f"  {time.perf_counter() - t0:.1f}s; loss {float(l):.4f}")
     assert np.isfinite(float(l))
@@ -100,8 +133,11 @@ def main():
     jax.profiler.start_trace(OUTDIR)
     N = 2
     for i in range(N):
-        l, params, opt_state = step(params, opt_state, jax.random.PRNGKey(i),
-                                    x, cond, aux)
+        k = jax.random.PRNGKey(i)
+        x, cond = fresh()  # previous copies were donated into the step
+        dF = (jvp_stage(params, k, x, cond, aux) if which == "scm"
+              else jnp.zeros((B, H, W, C), jnp.bfloat16))
+        l, params, opt_state = step(params, opt_state, k, x, cond, aux, dF)
     jax.block_until_ready(l)
     jax.profiler.stop_trace()
 
@@ -119,12 +155,14 @@ def main():
         for e in data.get("traceEvents", [])
         if e.get("ph") == "X"
         and (not dev_pids or e.get("pid") in dev_pids)
-        and e.get("name", "").startswith("jit_step")
+        and (e.get("name", "").startswith("jit_step") or e.get("name", "").startswith("jit_jvp_stage"))
     ) / N
-    # 6x-fwd FLOP model: fwd 2.72 TF at 1.4deg per sample, x (736*1440)/(128*256)
+    # FLOP model: fwd 2.72 TF at 1.4deg per sample x area ratio;
+    # sCM = 6x fwd (fwd + jvp(2x) + bwd(3x... counted as 6x total like the
+    # reference tflops model); trigflow = 3x fwd (fwd + bwd).
     fwd_tf = 2.72 * (736 * 1440) / (128 * 256) * B
-    tf = 6 * fwd_tf
-    log(f"0.25deg sCM train step @ B={B}: {dt:.3f} s device = "
+    tf = (6 if which == "scm" else 3) * fwd_tf
+    log(f"0.25deg {which} train step @ B={B}: {dt:.3f} s device = "
         f"{tf / dt:.0f} TF/s ({tf / dt / 197 * 100:.0f}% train MFU)")
 
 

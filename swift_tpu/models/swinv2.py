@@ -134,15 +134,20 @@ class ModulatedNorm(nn.Module):
         use_pallas = self.use_pallas
         if use_pallas is None:
             use_pallas = jax.default_backend() == "tpu"
-        # jvp stays on the jnp path: the fused tangent kernel (pallas_modnorm
-        # _mn_jvp_capable) MEASURED SLOWER on chip — XLA fuses the LN tangent
-        # chain into neighbouring ops, the standalone kernel can't
-        # (scripts/probe_jvp_variants.py, PERF.md r3 ledger).
-        if use_pallas and not jvp and residual is not None:
+        # jvp routing mirrors FeedForward: small grids keep the jnp jvp path
+        # (MEASURED faster — XLA fuses the LN tangent chain into neighbours;
+        # scripts/probe_jvp_variants.py), large grids take the fused jvp
+        # kernel to avoid the fp32 HBM intermediates (0.25° memory cliff).
+        tokens = 1
+        if x is not None:
+            for s in x.shape[1:-1]:
+                tokens *= s
+        big_grid = tokens >= 65536
+        if use_pallas and residual is not None and (not jvp or big_grid):
             try:
                 return sharded_modnorm_residual(
                     x, residual, g, b, scale, shift, self.eps,
-                    mesh=self.mesh, data_axis=self.data_axis,
+                    mesh=self.mesh, data_axis=self.data_axis, jvp=jvp,
                 )
             except ValueError:
                 pass
@@ -197,11 +202,18 @@ class FeedForward(nn.Module):
             use_pallas=self.use_pallas, mesh=self.mesh,
             data_axis=self.data_axis,
         )
-        # jvp routes to the jnp path below: the jvp-capable fused kernels
-        # (pallas_ffn custom_jvp tangent) MEASURED SLOWER on chip — the
-        # tangent kernel's gate/up recompute (+2 matmuls) loses to XLA's
-        # primal/tangent CSE (scripts/probe_jvp_variants.py, PERF.md r3).
-        fused = use_pallas and not jvp and self.mesh is None
+        # jvp routing: at flagship-scale grids the jnp path wins on SPEED
+        # (the fused tangent kernel's gate/up recompute loses to XLA's
+        # primal/tangent CSE — scripts/probe_jvp_variants.py, PERF.md r3),
+        # but its (tokens, 2·hidden) jvp intermediates are a MEMORY cliff:
+        # at the 0.25° grid they alone OOM a 16 GB chip. Large grids
+        # therefore take the fused jvp kernels (VMEM-resident, no HBM
+        # intermediates); small grids keep the faster jnp jvp path.
+        tokens = 1
+        for s in x.shape[1:-1]:
+            tokens *= s
+        big_grid = tokens >= 65536
+        fused = use_pallas and self.mesh is None and (not jvp or big_grid)
         if fused:
             # FFN matmul chain fused; the norm+residual epilogue stays a
             # separate pallas pass — folding it INTO this kernel measured
@@ -210,7 +222,7 @@ class FeedForward(nn.Module):
             from swift_tpu.ops.pallas_ffn import fused_swiglu_ffn
 
             try:
-                y = fused_swiglu_ffn(x.astype(self.dtype), k1, k2)
+                y = fused_swiglu_ffn(x.astype(self.dtype), k1, k2, jvp=jvp)
                 return norm(y, t, residual=inputs, jvp=jvp)
             except ValueError:  # token count doesn't tile -> jnp path
                 pass
@@ -492,6 +504,10 @@ class SwinBlockPair(nn.Module):
     mesh: Any = None
     data_axis: Optional[str] = None
     model_axis: Optional[str] = None
+    # nested per-BLOCK remat inside the (already pair-remat'd) scan body:
+    # halves the backward recompute window at the cost of ~one extra
+    # forward — needed to fit the 0.25° grid on a 16 GB chip.
+    remat_blocks: bool = False
 
     @nn.compact
     def __call__(self, x, cond):
@@ -502,8 +518,16 @@ class SwinBlockPair(nn.Module):
             use_pallas=self.use_pallas, mesh=self.mesh,
             data_axis=self.data_axis, model_axis=self.model_axis,
         )
-        x = SwinBlock(shift=(0, 0), name="even", **common)(x, cond, self.jvp)
-        x = SwinBlock(shift=self.shift, name="odd", **common)(x, cond, self.jvp)
+        Block = (
+            # static_argnums counts self: (x=1, cond=2, jvp=3) — the jvp
+            # bool must stay static or every `if jvp` branch downstream
+            # sees a tracer.
+            nn.remat(SwinBlock, prevent_cse=False, static_argnums=(3,))
+            if self.remat_blocks and not self.jvp
+            else SwinBlock
+        )
+        x = Block(shift=(0, 0), name="even", **common)(x, cond, self.jvp)
+        x = Block(shift=self.shift, name="odd", **common)(x, cond, self.jvp)
         return x, None
 
 
@@ -542,6 +566,10 @@ class SwinV2(nn.Module):
     # v5e has 16 GB HBM). Saves only the 6 pair boundaries; inference and
     # forward-only jits are unaffected (checkpoint is identity in primal).
     remat_layers: bool = True
+    # additionally remat each BLOCK inside the pair (nested checkpoint):
+    # halves the backward recompute window for ~one extra forward of
+    # compute. Required to fit 0.25° training on a 16 GB chip.
+    remat_blocks: bool = False
     # Tensor parallelism (set all three to enable): activation sharding
     # constraints over a (data_axis, model_axis) mesh matching the param
     # shardings in swift_tpu.parallel.sharding — without these hints XLA's
@@ -636,6 +664,7 @@ class SwinV2(nn.Module):
                 use_pallas=self.use_pallas, name="pairs",
                 mesh=self.mesh, data_axis=self.data_axis,
                 model_axis=self.model_axis,
+                remat_blocks=self.remat_blocks,
             )(h, cond_c)
         else:
             for i in range(self.depth):

@@ -143,17 +143,37 @@ def _fwd_kernel(q_ref, k_ref, v_ref, s_ref, o_ref, *, wh, ww, sh, sw):
     q, k, v = q_ref[0], k_ref[0], v_ref[0]  # (gh, gw, d)
     gh, gw, d = q.shape
     mm = jnp.bfloat16 if o_ref.dtype == jnp.bfloat16 else o_ref.dtype
+    # cosine-normalize the WHOLE tile once (normalize is per-token, window-
+    # independent): one big VPU pass instead of a per-window fp32 gather +
+    # rsqrt sequence — the kernel was VPU-bound (PERF.md r2 lever #1).
+    qf = q.astype(jnp.float32)
+    kf = k.astype(jnp.float32)
+    qn = (
+        qf * jax.lax.rsqrt(jnp.sum(qf * qf, -1, keepdims=True) + _EPS) * s
+    ).astype(mm)
+    kn = (
+        kf * jax.lax.rsqrt(jnp.sum(kf * kf, -1, keepdims=True) + _EPS)
+    ).astype(mm)
     # shifted-window attention on the torus == attention on windows whose
     # origin is offset by (sh, sw): read/write each window at its wrapped
     # coordinates instead of rolling whole tiles (only the wrap-around
     # row/column windows pay a concat).
+    n = wh * ww
     for i in range(gh // wh):
         for j in range(gw // ww):
             i0, j0 = (i * wh + sh) % gh, (j * ww + sw) % gw
-            qw = _gather_window(q, i0, j0, wh, ww).reshape(wh * ww, d)
-            kw = _gather_window(k, i0, j0, wh, ww).reshape(wh * ww, d)
-            vw = _gather_window(v, i0, j0, wh, ww).reshape(wh * ww, d)
-            o = _window_attn_fwd(qw, kw, vw, s, mm)
+            qw = _gather_window(qn, i0, j0, wh, ww).reshape(n, d)
+            kw = _gather_window(kn, i0, j0, wh, ww).reshape(n, d)
+            vw = _gather_window(v, i0, j0, wh, ww).reshape(n, d)
+            logits = jax.lax.dot_general(
+                qw, kw, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            logits = logits - jnp.max(logits, -1, keepdims=True)
+            e = jnp.exp(logits)
+            p = e / jnp.sum(e, -1, keepdims=True)
+            o = jnp.dot(p.astype(mm), vw.astype(mm),
+                        preferred_element_type=jnp.float32)
             _scatter_window(
                 o_ref, o.astype(o_ref.dtype).reshape(wh, ww, d), i0, j0
             )
@@ -598,13 +618,31 @@ def _tiled_fwd_kernel(q_ref, k_ref, v_ref, s_ref, o_ref, *, wh, ww):
     q, k, v = q_ref[0], k_ref[0], v_ref[0]  # (bh, gw, d)
     bh, gw, d = q.shape
     mm = jnp.bfloat16 if o_ref.dtype == jnp.bfloat16 else o_ref.dtype
+    # full-tile cosine normalize (see _fwd_kernel): one VPU pass per tile.
+    qf = q.astype(jnp.float32)
+    kf = k.astype(jnp.float32)
+    qn = (
+        qf * jax.lax.rsqrt(jnp.sum(qf * qf, -1, keepdims=True) + _EPS) * s
+    ).astype(mm)
+    kn = (
+        kf * jax.lax.rsqrt(jnp.sum(kf * kf, -1, keepdims=True) + _EPS)
+    ).astype(mm)
+    n = wh * ww
     for rw in range(bh // wh):
         for j in range(gw // ww):
             r0, c0 = rw * wh, j * ww
-            qw = q[r0:r0 + wh, c0:c0 + ww].reshape(wh * ww, d)
-            kw = k[r0:r0 + wh, c0:c0 + ww].reshape(wh * ww, d)
-            vw = v[r0:r0 + wh, c0:c0 + ww].reshape(wh * ww, d)
-            o = _window_attn_fwd(qw, kw, vw, s, mm)
+            qw = qn[r0:r0 + wh, c0:c0 + ww].reshape(n, d)
+            kw = kn[r0:r0 + wh, c0:c0 + ww].reshape(n, d)
+            vw = v[r0:r0 + wh, c0:c0 + ww].reshape(n, d)
+            logits = jax.lax.dot_general(
+                qw, kw, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            logits = logits - jnp.max(logits, -1, keepdims=True)
+            e = jnp.exp(logits)
+            p = e / jnp.sum(e, -1, keepdims=True)
+            o = jnp.dot(p.astype(mm), vw.astype(mm),
+                        preferred_element_type=jnp.float32)
             o_ref[0, r0:r0 + wh, c0:c0 + ww, :] = (
                 o.astype(o_ref.dtype).reshape(wh, ww, d)
             )
@@ -721,12 +759,18 @@ def _tiled_bwd_call(qkv, scale, dout, heads, window_size, th):
         out_specs=[
             pl.BlockSpec((1, bh, gw, 3 * d), lambda b, h, r: (b, r, 0, h),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, 1, 1), lambda b, h, r: (b, h, r, 0),
-                         memory_space=pltpu.VMEM),
+            # per-(b, h, r) scalar partials: (heads, nrt) flattened into one
+            # axis so the (1,1,1,1) block EQUALS the trailing array dims
+            # (Mosaic's last-two-dims rule; CLAUDE.md rule 4).
+            pl.BlockSpec(
+                (1, 1, 1, 1),
+                lambda b, h, r, nrt=nrt: (b, h * nrt + r, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
         ],
         out_shape=[
             jax.ShapeDtypeStruct(qkv.shape, qkv.dtype),
-            jax.ShapeDtypeStruct((B, heads, nrt, 1), jnp.float32),
+            jax.ShapeDtypeStruct((B, heads * nrt, 1, 1), jnp.float32),
         ],
         cost_estimate=pl.CostEstimate(
             flops=2 * B * heads * nW * (5 * n * n * d),
@@ -734,7 +778,8 @@ def _tiled_bwd_call(qkv, scale, dout, heads, window_size, th):
             transcendentals=B * heads * nW * n * n,
         ),
     )(qkv, qkv, qkv, scale.reshape(1, heads, 1, 1).astype(jnp.float32), dout)
-    return dqkv, dsp.reshape(B, heads, nrt).sum(axis=(0, 2)).astype(scale.dtype)
+    dsp = dsp.reshape(B, heads, nrt)
+    return dqkv, dsp.sum(axis=(0, 2)).astype(scale.dtype)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4))
@@ -866,6 +911,56 @@ def _tba_jvp_rule(heads, window_size, th, primals, tangents):
     return o, do
 
 
+def _roll2_single_pass(x, sh: int, sw: int):
+    """Cyclic roll by (-sh, -sw) on axes (1, 2) built from four
+    dynamic-update-slices of corner slices into ONE output buffer.
+
+    jnp.roll over two axes lowers to two staged concats, materializing an
+    extra array-sized temporary per stage — at the 0.25° qkv that is
+    +2.27 GB per roll and was the top HBM allocation of the jvp train step
+    (r3 OOM table). The DUS chain updates one buffer in place."""
+    sh %= x.shape[1]
+    sw %= x.shape[2]
+    if sh == 0 and sw == 0:
+        return x
+    gh, gw = x.shape[1], x.shape[2]
+    out = jnp.zeros_like(x)
+    z = (0,) * (x.ndim - 3)
+
+    def dus(o, val, r, c):
+        return jax.lax.dynamic_update_slice(o, val, (0, r, c) + z)
+
+    out = dus(out, x[:, sh:, sw:], 0, 0)
+    if sw:
+        out = dus(out, x[:, sh:, :sw], 0, gw - sw)
+    if sh:
+        out = dus(out, x[:, :sh, sw:], gh - sh, 0)
+    if sh and sw:
+        out = dus(out, x[:, :sh, :sw], gh - sh, gw - sw)
+    return out
+
+
+@functools.lru_cache(maxsize=None)
+def _roll2_linear(sh: int, sw: int, gh: int, gw: int):
+    """_roll2_single_pass with a custom transpose rule: the autodiff
+    transpose of the DUS chain is a slice/add graph that materializes TWO
+    extra array-sized temporaries per roll (43% HBM fragmentation in the
+    0.25° train step); rolling the cotangent the other way is one buffer."""
+
+    @jax.custom_vjp
+    def roll(x):
+        return _roll2_single_pass(x, sh, sw)
+
+    def fwd(x):
+        return roll(x), None
+
+    def bwd(_, d):
+        return (_roll2_single_pass(d, (gh - sh) % gh, (gw - sw) % gw),)
+
+    roll.defvjp(fwd, bwd)
+    return roll
+
+
 def fused_tiled_block_attention(qkv, scale, heads, window_size, shift=(0, 0),
                                 jvp=False):
     """Window-tiled fused block attention for grids too large for the
@@ -882,13 +977,21 @@ def fused_tiled_block_attention(qkv, scale, heads, window_size, shift=(0, 0),
         q5 = jnp.pad(q5, ((0, 0),) * 4 + ((0, dp - d),))
         qkv = q5.reshape(B, gh, gw, 3 * heads * dp)
     sh, sw = shift
+    # jvp path: plain DUS roll (native forward-mode rule); vjp path: the
+    # custom-transpose roll (single cotangent buffer).
     if sh or sw:
-        qkv = jnp.roll(qkv, (-sh, -sw), axis=(1, 2))
+        if jvp:
+            qkv = _roll2_single_pass(qkv, sh, sw)
+        else:
+            qkv = _roll2_linear(sh % gh, sw % gw, gh, gw)(qkv)
     th = _pick_row_tile(gh, gw, window_size[0], dp)
     fn = _tba_jvp_capable if jvp else _tba_padded
     out = fn(qkv, scale, heads, window_size, th)
     if sh or sw:
-        out = jnp.roll(out, (sh, sw), axis=(1, 2))
+        if jvp:
+            out = _roll2_single_pass(out, gh - sh, gw - sw)
+        else:
+            out = _roll2_linear((gh - sh) % gh, (gw - sw) % gw, gh, gw)(out)
     if dp != d:
         out = out.reshape(B, gh, gw, heads, dp)[..., :d]
         out = out.reshape(B, gh, gw, heads * d)

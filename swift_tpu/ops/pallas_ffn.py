@@ -87,6 +87,90 @@ def _ffn_call(x2, wg, wu, w2):
     )(x2, wg, wu, w2)
 
 
+def _ffn_bwd_kernel(x_ref, dy_ref, wg_ref, wu_ref, w2_ref,
+                    dx_ref, dwg_ref, dwu_ref, dw2_ref):
+    """Full FFN backward in one pass: gate/up recomputed in VMEM, dx per
+    token tile, weight grads ACCUMULATED in fp32 VMEM across the
+    (sequential) token grid. Left to XLA the backward materializes ~9 GB of
+    (tokens, 2816) intermediates at the 0.25° grid (r3 OOM table #1-#6);
+    here nothing (tokens, H)-shaped ever reaches HBM."""
+    i = pl.program_id(0)
+    x = x_ref[...]
+    dy = dy_ref[...]
+    g = jnp.dot(x, wg_ref[...], preferred_element_type=jnp.float32)
+    u = jnp.dot(x, wu_ref[...], preferred_element_type=jnp.float32)
+    sig = jax.nn.sigmoid(g)
+    sg = g * sig
+    h = (sg * u).astype(x.dtype)
+    # dh = dy @ w2^T
+    dh = jax.lax.dot_general(
+        dy, w2_ref[...], (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    # d silu(g) = sigmoid(g) * (1 + g * (1 - sigmoid(g)))
+    dg = (dh * u * (sig * (1 + g * (1 - sig)))).astype(x.dtype)
+    du = (dh * sg).astype(x.dtype)
+    dx = (
+        jax.lax.dot_general(dg, wg_ref[...], (((1,), (1,)), ((), ())),
+                            preferred_element_type=jnp.float32)
+        + jax.lax.dot_general(du, wu_ref[...], (((1,), (1,)), ((), ())),
+                              preferred_element_type=jnp.float32)
+    )
+    dx_ref[...] = dx.astype(dx_ref.dtype)
+
+    dwg_c = jax.lax.dot_general(x, dg, (((0,), (0,)), ((), ())),
+                                preferred_element_type=jnp.float32)
+    dwu_c = jax.lax.dot_general(x, du, (((0,), (0,)), ((), ())),
+                                preferred_element_type=jnp.float32)
+    dw2_c = jax.lax.dot_general(h, dy, (((0,), (0,)), ((), ())),
+                                preferred_element_type=jnp.float32)
+
+    @pl.when(i == 0)
+    def _init():
+        dwg_ref[...] = dwg_c
+        dwu_ref[...] = dwu_c
+        dw2_ref[...] = dw2_c
+
+    @pl.when(i > 0)
+    def _acc():
+        dwg_ref[...] += dwg_c
+        dwu_ref[...] += dwu_c
+        dw2_ref[...] += dw2_c
+
+
+def _ffn_bwd_call(x2, dy2, wg, wu, w2):
+    T, D = x2.shape
+    H = wg.shape[1]
+    # smaller token tiles than the fwd: the fp32 weight-grad accumulators
+    # (~36 MB) + weights (~18 MB) already claim half the VMEM budget.
+    bt = min(_pick_block(T), 256)
+    tok = lambda n: pl.BlockSpec((bt, n), lambda i: (i, 0),
+                                 memory_space=pltpu.VMEM)
+    const = lambda s: pl.BlockSpec(s, lambda i: (0, 0),
+                                   memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        _ffn_bwd_kernel,
+        grid=(T // bt,),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=110 * 1024 * 1024,
+        ),
+        in_specs=[tok(D), tok(D), const((D, H)), const((D, H)),
+                  const((H, D))],
+        out_specs=[tok(D), const((D, H)), const((D, H)), const((H, D))],
+        out_shape=[
+            jax.ShapeDtypeStruct((T, D), x2.dtype),
+            jax.ShapeDtypeStruct((D, H), jnp.float32),
+            jax.ShapeDtypeStruct((D, H), jnp.float32),
+            jax.ShapeDtypeStruct((H, D), jnp.float32),
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=2 * T * D * H * 8,
+            bytes_accessed=(4 * T * D + 6 * D * H) * x2.dtype.itemsize,
+            transcendentals=T * H,
+        ),
+    )(x2, dy2, wg, wu, w2)
+
+
 @jax.custom_vjp
 def _fused_swiglu(x2, wg, wu, w2):
     return _ffn_call(x2, wg, wu, w2)
@@ -98,28 +182,9 @@ def _fused_swiglu_fwd(x2, wg, wu, w2):
 
 def _fused_swiglu_bwd(res, dy):
     x2, wg, wu, w2 = res
-    mm = x2.dtype
-    g = jnp.dot(x2, wg, preferred_element_type=jnp.float32)
-    u = jnp.dot(x2, wu, preferred_element_type=jnp.float32)
-    sg = jax.nn.silu(g)
-    h = (sg * u).astype(mm)
-    dh = jnp.dot(dy.astype(mm), w2.T.astype(mm),
-                 preferred_element_type=jnp.float32)
-    dw2 = jnp.dot(h.T, dy.astype(mm), preferred_element_type=jnp.float32)
-    # d silu(g) = sigmoid(g) * (1 + g * (1 - sigmoid(g)))
-    sig = jax.nn.sigmoid(g)
-    dg = dh * u * (sig * (1 + g * (1 - sig)))
-    du = dh * sg
-    dx = (
-        jnp.dot(dg.astype(mm), wg.T.astype(mm),
-                preferred_element_type=jnp.float32)
-        + jnp.dot(du.astype(mm), wu.T.astype(mm),
-                  preferred_element_type=jnp.float32)
-    )
-    dwg = jnp.dot(x2.T, dg.astype(mm), preferred_element_type=jnp.float32)
-    dwu = jnp.dot(x2.T, du.astype(mm), preferred_element_type=jnp.float32)
-    return (dx.astype(x2.dtype), dwg.astype(wg.dtype),
-            dwu.astype(wu.dtype), dw2.astype(w2.dtype))
+    dx, dwg, dwu, dw2 = _ffn_bwd_call(x2, dy.astype(x2.dtype), wg, wu, w2)
+    return (dx, dwg.astype(wg.dtype), dwu.astype(wu.dtype),
+            dw2.astype(w2.dtype))
 
 
 _fused_swiglu.defvjp(_fused_swiglu_fwd, _fused_swiglu_bwd)

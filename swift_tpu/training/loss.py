@@ -199,6 +199,50 @@ class SCMLoss(_WeightedLoss):
     tangent_warmup_kimg: int = 0
     distillation: bool = False
 
+    def _draw(self, key, x):
+        """The (t, z) noise draws — shared between the staged jvp term and
+        the main loss so both stages see identical randomness."""
+        k_tau, k_z = jax.random.split(key)
+        tau = _make_noise_fn(self.noise)(k_tau, x.shape[0])
+        t = jnp.arctan(tau / self.sigma_data)
+        z = jax.random.normal(k_z, x.shape) * self.sigma_data
+        return t, z
+
+    def _dxt_dt(self, t, z, x, x_t, condition, auxiliary, teacher):
+        cos_t, sin_t = jnp.cos(t), jnp.sin(t)
+        if self.distillation and teacher is not None:
+            # frozen teacher prediction of dx_t/dt (v-prediction).
+            return self.sigma_data * jax.lax.stop_gradient(
+                teacher(x_t / self.sigma_data, t, condition, auxiliary)
+            )
+        return cos_t * z - sin_t * x
+
+    def jvp_term(self, params, key, x, condition=None, auxiliary=None,
+                 teacher=None, out_dtype=None):
+        """The sCM tangent dF̂ as a STANDALONE computation.
+
+        At large grids (0.25°) the jvp forward and the main fwd+bwd don't
+        fit one device program together; jitting this separately and
+        passing the result via ``dF_x=`` makes the HBM peak max() of the
+        two stages instead of their sum. Must be called with the same
+        ``key`` as the main loss (the (t, z) draws are re-derived)."""
+        t, z = self._draw(key, x)
+        cos_t, sin_t = jnp.cos(t), jnp.sin(t)
+        x_t = cos_t * x + sin_t * z
+        dxt_dt = self._dxt_dt(t, z, x, x_t, condition, auxiliary, teacher)
+
+        def wrapper(xi, ti):
+            return self.precond.apply(params, xi, ti, condition, auxiliary, jvp=True)
+
+        v_x = cos_t * sin_t * dxt_dt / self.sigma_data
+        v_t = cos_t * sin_t
+        _, dF_x = jax.jvp(wrapper, (x_t / self.sigma_data, t), (v_x, v_t))
+        if out_dtype is not None:
+            # bf16 handoff shrinks the cross-program buffer; dF enters the
+            # loss only inside the normalized, stop-gradient'ed g.
+            dF_x = dF_x.astype(out_dtype)
+        return jax.lax.stop_gradient(dF_x)
+
     def __call__(
         self,
         params,
@@ -208,33 +252,26 @@ class SCMLoss(_WeightedLoss):
         condition=None,
         auxiliary=None,
         teacher=None,
+        dF_x=None,
         **kw,
     ):
-        k_tau, k_z = jax.random.split(key)
-        tau = _make_noise_fn(self.noise)(k_tau, x.shape[0])
-        t = jnp.arctan(tau / self.sigma_data)
-
-        z = jax.random.normal(k_z, x.shape) * self.sigma_data
+        t, z = self._draw(key, x)
         cos_t, sin_t = jnp.cos(t), jnp.sin(t)
         x_t = cos_t * x + sin_t * z
+        dxt_dt = self._dxt_dt(t, z, x, x_t, condition, auxiliary, teacher)
 
-        if self.distillation and teacher is not None:
-            # frozen teacher prediction of dx_t/dt (v-prediction).
-            dxt_dt = self.sigma_data * jax.lax.stop_gradient(
-                teacher(x_t / self.sigma_data, t, condition, auxiliary)
-            )
-        else:
-            dxt_dt = cos_t * z - sin_t * x
+        if dF_x is None:
+            # JVP through the model — jax.jvp replaces the reference's
+            # torch.func.jvp + DDP-unwrap + hook-disable + flash-fallback
+            # (reference loss.py:212-220, swinv2.py:129).
+            def wrapper(xi, ti):
+                return self.precond.apply(
+                    params, xi, ti, condition, auxiliary, jvp=True
+                )
 
-        # JVP through the model — jax.jvp replaces the reference's
-        # torch.func.jvp + DDP-unwrap + hook-disable + flash-fallback
-        # (reference loss.py:212-220, swinv2.py:129).
-        def wrapper(xi, ti):
-            return self.precond.apply(params, xi, ti, condition, auxiliary, jvp=True)
-
-        v_x = cos_t * sin_t * dxt_dt / self.sigma_data
-        v_t = cos_t * sin_t
-        _, dF_x = jax.jvp(wrapper, (x_t / self.sigma_data, t), (v_x, v_t))
+            v_x = cos_t * sin_t * dxt_dt / self.sigma_data
+            v_t = cos_t * sin_t
+            _, dF_x = jax.jvp(wrapper, (x_t / self.sigma_data, t), (v_x, v_t))
 
         use_logvar = _has_logvar(self.precond)
         out = self.precond.apply(
