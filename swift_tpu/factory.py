@@ -100,6 +100,7 @@ def build_model(
             depth=int(cfg.get("depth", 6)),
             dim=int(cfg.get("dim", 512)),
             heads=int(cfg.get("heads", 12)),
+            head_dim=int(cfg["head_dim"]) if cfg.get("head_dim") else None,
             auxiliary_dim=auxiliary_dim,
             logvar=bool(cfg.get("logvar", False)),
             timestep_weight=float(cfg.get("timestep_weight", 1.0)),

@@ -555,6 +555,13 @@ class SwinV2(nn.Module):
     depth: int = 6
     dim: int = 512
     heads: int = 12
+    # Decouple attention width from model width (heads*head_dim need not
+    # equal dim). None (default) ties head_dim = dim // heads like the
+    # reference (flagship: 1056/12 = 88, which the Pallas kernel must
+    # zero-pad to 128 — a +45% qkv-matmul tax, PERF.md). head_dim=128
+    # (e.g. with heads=8) removes the pad for NEW training runs; it is
+    # parity-breaking with reference checkpoints, so it is opt-in.
+    head_dim: Optional[int] = None
     auxiliary_dim: int = 0
     logvar: bool = False
     timestep_weight: float = 1.0
@@ -638,7 +645,7 @@ class SwinV2(nn.Module):
         cond_c = cond.astype(self.dtype)
 
         # --- transformer stack.
-        head_dim = self.dim // self.heads
+        head_dim = self.head_dim or self.dim // self.heads
         mlp_dim = int(8 / 3.0 * self.dim)
         sh, sw = _as_2tuple(self.shift_size)
         if self.scan_layers and self.depth % 2 == 0:

@@ -124,3 +124,28 @@ def test_param_count_flagship_config():
     # corresponds to the patch 1x1 variant whose pos_embed alone is 34.6M
     # (reference swinv2.py:333-351 uses patch_size=[1,1]).
     assert 220e6 < n < 235e6, f"param count {n/1e6:.1f}M out of range"
+
+
+def test_decoupled_head_dim():
+    """head_dim can be set independently of dim//heads (MXU-native 128-wide
+    heads for new runs, PERF.md pad-tax lever): forward shape, zero-init
+    head, and grads all work with heads*head_dim != dim."""
+    m = tiny_model(heads=2, head_dim=24)  # inner 48 != dim 32
+    x = jax.random.normal(jax.random.PRNGKey(9), (2, 8, 16, 6))
+    t = jnp.array([0.3, 0.9])
+    params = m.init(jax.random.PRNGKey(0), x, t, auxiliary=jnp.zeros((2, 1)))[
+        "params"
+    ]
+    y, lv = m.apply(
+        {"params": params}, x, t, auxiliary=jnp.ones((2, 1)),
+        return_logvar=True,
+    )
+    assert y.shape == (2, 8, 16, 3)
+    np.testing.assert_array_equal(np.asarray(y), 0.0)
+
+    def loss(p):
+        out = m.apply({"params": p}, x, t, auxiliary=jnp.ones((2, 1)))
+        return jnp.sum(out * out)
+
+    g = jax.grad(loss)(params)
+    assert all(jnp.isfinite(l).all() for l in jax.tree_util.tree_leaves(g))
