@@ -390,6 +390,16 @@ class Trainer:
         metrics_dev = None
         dt_step = 0.0
         dt_data_tick = 0.0  # per-tick accumulated data wait (reference :445-459)
+        # Bounded async window: without any intra-tick sync, every enqueued
+        # step's host-side argument buffers (~290 MB/batch at the flagship)
+        # stay referenced until the next device sync — a tick is 63 steps,
+        # so host RSS ballooned ~18 GB/tick on the r3 soak. Blocking on the
+        # metrics of the step K back keeps data-load/compute overlap (the
+        # device is K steps deep) while bounding in-flight host memory.
+        from collections import deque
+
+        inflight: deque = deque()
+        inflight_depth = 4
 
         if self.profile:
             jax.profiler.start_trace(os.path.join(self.run_dir, "profile"))
@@ -453,6 +463,9 @@ class Trainer:
             )
             i += 1
             global_nimg += self.global_batch_size
+            inflight.append(metrics_dev)
+            if len(inflight) > inflight_depth:
+                jax.block_until_ready(inflight.popleft())
             done = global_nimg >= self.total_kimg * 1000 or interrupted["flag"]
 
             if (
