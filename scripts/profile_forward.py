@@ -18,7 +18,7 @@ sys.path.insert(0, "/root/repo")
 
 import numpy as np
 
-BATCH = 24
+BATCH = int(sys.argv[1]) if len(sys.argv) > 1 else 24
 OUTDIR = "/tmp/swift_profile"
 
 
