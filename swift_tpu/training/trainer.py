@@ -390,12 +390,18 @@ class Trainer:
         metrics_dev = None
         dt_step = 0.0
         dt_data_tick = 0.0  # per-tick accumulated data wait (reference :445-459)
-        # Bounded async window: without any intra-tick sync, every enqueued
-        # step's host-side argument buffers (~290 MB/batch at the flagship)
-        # stay referenced until the next device sync — a tick is 63 steps,
-        # so host RSS ballooned ~18 GB/tick on the r3 soak. Blocking on the
-        # metrics of the step K back keeps data-load/compute overlap (the
-        # device is K steps deep) while bounding in-flight host memory.
+        # Bounded async window: without any intra-tick sync the host can
+        # enqueue a whole tick of steps, keeping every step's argument
+        # buffers (~290 MB/batch at the flagship) referenced until the next
+        # device sync. Blocking on the metrics of the step K back keeps
+        # data-load/compute overlap (the device stays K steps deep) while
+        # bounding genuinely in-flight host memory. NOTE: the ~18 GB/tick
+        # host-RSS growth on the r3 dev-harness soak is NOT this — it
+        # reproduces with the same host buffers re-sent synchronously
+        # (scripts/probe_host_rss.py: ~306 MB/step = exactly the transfer
+        # payload, in reuse/fresh/async/device_put modes alike), i.e. the
+        # dev tunnel's transfer client retains every payload; production
+        # PJRT hosts don't have that path. See PERF.md.
         from collections import deque
 
         inflight: deque = deque()
