@@ -35,7 +35,12 @@ def main():
 
     from __graft_entry__ import FLAGSHIP, _build
 
-    precond = _build(FLAGSHIP)
+    cfg = dict(FLAGSHIP)
+    if "hd128" in sys.argv[2:]:
+        # the MXU-native head-width variant (experiment
+        # era5-swinv2-1.4-scm-hd128.yaml): 8 x 128 heads, zero qkv pad tax
+        cfg.update(heads=8, head_dim=128)
+    precond = _build(cfg)
     rng = np.random.default_rng(0)
 
     H, W = FLAGSHIP["img_resolution"]
