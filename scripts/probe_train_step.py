@@ -28,7 +28,12 @@ from swift_tpu.training.trainer import muon_param_labels
 
 def main():
     B = int(sys.argv[1]) if len(sys.argv) > 1 else 16
-    pre = _build(FLAGSHIP)
+    cfg = dict(FLAGSHIP)
+    if "hd128" in sys.argv[2:]:
+        # the MXU-native head-width variant (experiment
+        # era5-swinv2-1.4-scm-hd128.yaml): 8 x 128 heads, zero qkv pad tax
+        cfg.update(heads=8, head_dim=128)
+    pre = _build(cfg)
     loss = SCMLoss(
         precond=pre, lat_dim=128, variables=tuple(default_variables_69()),
         noise={"dist": "loguniform", "sigma_min": 0.02, "sigma_max": 200.0},

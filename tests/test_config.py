@@ -83,3 +83,22 @@ def test_save_load_roundtrip(tmp_path):
 def test_unknown_config_errors():
     with pytest.raises(ConfigError):
         compose("train", ["experiment=does-not-exist"])
+
+
+def test_compose_hd128_experiment():
+    """The MXU-native head-width flagship variant (bench geometry of record
+    for new runs): heads=8 x head_dim=128, otherwise the 1.4-scm flagship."""
+    cfg = compose("train", ["experiment=era5-swinv2-1.4-scm-hd128"])
+    assert cfg["experiment_name"] == "era5-swinv2-1.4-scm-hd128"
+    assert cfg["model"]["heads"] == 8
+    assert cfg["model"]["head_dim"] == 128
+    assert cfg["model"]["dim"] == 1056
+    assert cfg["loss"]["_target_"].endswith("SCMLoss")
+
+    from swift_tpu.factory import build_model
+
+    model = build_model(
+        cfg["model"], img_resolution=(8, 16), in_channels=7, out_channels=2,
+        auxiliary_dim=1,
+    )
+    assert model.heads == 8 and model.head_dim == 128
