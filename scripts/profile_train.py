@@ -40,7 +40,11 @@ def main():
     from swift_tpu.training.optimizers import muon_with_aux_adam
     from swift_tpu.training.trainer import muon_param_labels
 
-    pre = _build(FLAGSHIP)
+    cfg = dict(FLAGSHIP)
+    if "hd128" in sys.argv[1:]:
+        # the MXU-native head-width variant (era5-swinv2-1.4-scm-hd128.yaml)
+        cfg.update(heads=8, head_dim=128)
+    pre = _build(cfg)
     loss = SCMLoss(
         precond=pre, lat_dim=128, variables=tuple(default_variables_69()),
         noise={"dist": "loguniform", "sigma_min": 0.02, "sigma_max": 200.0},
