@@ -31,13 +31,15 @@ from swift_tpu.parallel.sharding import crop_lat, pad_lat_to_grid
 
 def main():
     B = int(sys.argv[1]) if len(sys.argv) > 1 else 1
+    hd128 = "hd128" in sys.argv[2:]
     H_RAW, W = 721, 1440
     C, F = 69, 3
     PATCH, WIN = 2, 16
     model = SwinV2(
         img_resolution=(736, W), in_channels=2 * C + F, out_channels=C,
         window_size=(WIN, WIN), shift_size=(8, 8), patch_size=(PATCH, PATCH),
-        depth=12, dim=1056, heads=12, auxiliary_dim=1, logvar=True,
+        depth=12, dim=1056, heads=8 if hd128 else 12,
+        head_dim=128 if hd128 else None, auxiliary_dim=1, logvar=True,
         dtype=jnp.bfloat16,
     )
     pre = PassPrecond(
