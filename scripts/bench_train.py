@@ -31,6 +31,7 @@ def main():
                     help="online-val rollout length (config of record: 8)")
     ap.add_argument("--workers", type=int, default=8)
     ap.add_argument("--run-id", type=str, default="benchtrain")
+    ap.add_argument("--experiment", type=str, default="era5-swinv2-1.4-scm")
     args = ap.parse_args()
 
     from scripts.bench_generate import setup  # synthetic dataset (cached)
@@ -43,7 +44,7 @@ def main():
     from swift_tpu import train as train_cli
 
     overrides = [
-        "experiment=era5-swinv2-1.4-scm",
+        f"experiment={args.experiment}",
         f"data.dataset.root={root}",
         f"data.batch_size={args.batch}",
         f"data.data_workers={args.workers}",
@@ -56,7 +57,7 @@ def main():
     train_cli.main(overrides)
 
     stats = os.path.join(
-        "results", "era5-swinv2-1.4-scm", args.run_id, "stats.jsonl"
+        "results", args.experiment, args.run_id, "stats.jsonl"
     )
     if os.path.exists(stats):
         lines = [json.loads(l) for l in open(stats)]
