@@ -52,14 +52,22 @@ def main():
     from swift_tpu.training.trainer import muon_param_labels
 
     which = sys.argv[1] if len(sys.argv) > 1 else "trigflow"
+    # geometry of record for 0.25° is hd128 + factorized pos embed
+    # (era5-swinv2-0.25-scm.yaml); QT_GEOMETRY=parity / QT_POS_EMBED=learned
+    # reproduce the r3 memory-ledger measurements.
+    geometry = os.environ.get("QT_GEOMETRY", "hd128")
+    pos_mode = os.environ.get("QT_POS_EMBED", "factorized")
+    heads, head_dim = (8, 128) if geometry == "hd128" else (12, None)
     B, H, W = 1, 736, 1440
     C, F = 69, 3
     model = SwinV2(
         img_resolution=(H, W), in_channels=2 * C + F, out_channels=C,
         window_size=(16, 16), shift_size=(8, 8), patch_size=(2, 2),
-        depth=12, dim=1056, heads=12, auxiliary_dim=1, logvar=True,
+        depth=12, dim=1056, heads=heads, head_dim=head_dim,
+        pos_embed_mode=pos_mode, auxiliary_dim=1, logvar=True,
         dtype=jnp.bfloat16, remat_layers=True, remat_blocks=os.environ.get("QT_REMAT_BLOCKS", "1") == "1",
     )
+    log(f"geometry={geometry} pos_embed={pos_mode}")
     pre = PassPrecond(
         model=model, img_resolution=(H, W), img_channels=C,
         condition_channels=C + F, auxiliary_dim=1, sigma_data=1.0,
@@ -117,6 +125,29 @@ def main():
 
     def fresh():
         return jnp.asarray(x_np), jnp.asarray(cond_np)
+
+    if os.environ.get("QT_MEM", "1") == "1":
+        # AOT-compile both stages and print the HBM ledger before running
+        # (same executable cache as the calls below, so no extra compile).
+        sd = lambda a: jax.ShapeDtypeStruct(a.shape, a.dtype)  # noqa: E731
+        p_s, o_s = jax.tree_util.tree_map(sd, (params, opt_state))
+        k_s = sd(jax.random.PRNGKey(0))
+        x_s = jax.ShapeDtypeStruct((B, H, W, C), jnp.float32)
+        c_s = jax.ShapeDtypeStruct((B, H, W, C + F), jnp.float32)
+        a_s = jax.ShapeDtypeStruct((B, 1), jnp.float32)
+        d_s = jax.ShapeDtypeStruct((B, H, W, C), jnp.bfloat16)
+        for name, fn, args in (
+            ("jvp_stage", jvp_stage, (p_s, k_s, x_s, c_s, a_s)),
+            ("step", step, (p_s, o_s, k_s, x_s, c_s, a_s, d_s)),
+        ):
+            if name == "jvp_stage" and which != "scm":
+                continue
+            ma = fn.lower(*args).compile().memory_analysis()
+            log(
+                f"  {name}: args {ma.argument_size_in_bytes / 2**30:.2f} GB, "
+                f"temp {ma.temp_size_in_bytes / 2**30:.2f} GB, "
+                f"out {ma.output_size_in_bytes / 2**30:.2f} GB"
+            )
 
     log("compile...")
     t0 = time.perf_counter()

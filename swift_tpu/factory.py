@@ -101,6 +101,7 @@ def build_model(
             dim=int(cfg.get("dim", 512)),
             heads=int(cfg.get("heads", 12)),
             head_dim=int(cfg["head_dim"]) if cfg.get("head_dim") else None,
+            pos_embed_mode=str(cfg.get("pos_embed_mode", "learned")),
             auxiliary_dim=auxiliary_dim,
             logvar=bool(cfg.get("logvar", False)),
             timestep_weight=float(cfg.get("timestep_weight", 1.0)),

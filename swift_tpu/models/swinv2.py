@@ -562,6 +562,14 @@ class SwinV2(nn.Module):
     # (e.g. with heads=8) removes the pad for NEW training runs; it is
     # parity-breaking with reference checkpoints, so it is opt-in.
     head_dim: Optional[int] = None
+    # "learned" (default): one (1, gh*gw, dim) table like the reference
+    # (swinv2.py:278). "factorized": row (gh, dim) + column (gw, dim) tables
+    # whose broadcast sum replaces it — O(gh+gw) instead of O(gh*gw) params.
+    # At 0.25° the learned table is 280M params (1.12 GB fp32) plus 2.24 GB
+    # of Adam moments; the factorized form is 1.15M params and is the memory
+    # lever that lets single-chip 0.25° training fit (PERF.md). Parity-
+    # breaking with reference checkpoints, so opt-in.
+    pos_embed_mode: str = "learned"
     auxiliary_dim: int = 0
     logvar: bool = False
     timestep_weight: float = 1.0
@@ -614,12 +622,19 @@ class SwinV2(nn.Module):
         )(xp)
         h = _wsc(h, self.mesh, self.data_axis, None, None)
 
-        pos = self.param(
-            "pos_embed",
-            lambda key, shape: 0.02 * jax.random.normal(key, shape, jnp.float32),
-            (1, gh * gw, self.dim),
+        pos_init = lambda key, shape: 0.02 * jax.random.normal(  # noqa: E731
+            key, shape, jnp.float32
         )
-        h = h + pos.astype(self.dtype)
+        if self.pos_embed_mode == "factorized":
+            pos_r = self.param("pos_embed_row", pos_init, (1, gh, 1, self.dim))
+            pos_c = self.param("pos_embed_col", pos_init, (1, 1, gw, self.dim))
+            # broadcast sum in bf16; XLA fuses it into the add (the full
+            # (gh, gw, dim) table never hits HBM in fp32).
+            pos2d = pos_r.astype(self.dtype) + pos_c.astype(self.dtype)
+            h = h + pos2d.reshape(1, gh * gw, self.dim)
+        else:
+            pos = self.param("pos_embed", pos_init, (1, gh * gw, self.dim))
+            h = h + pos.astype(self.dtype)
 
         # --- conditioning vector.
         t = jnp.asarray(t, jnp.float32)

@@ -102,3 +102,23 @@ def test_compose_hd128_experiment():
         auxiliary_dim=1,
     )
     assert model.heads == 8 and model.head_dim == 128
+
+
+def test_compose_quarter_degree_experiment():
+    """0.25° config of record: hd128 geometry + factorized pos embed (the
+    single-chip training memory lever, PERF.md) over the flare-0.25 data."""
+    cfg = compose("train", ["experiment=era5-swinv2-0.25-scm"])
+    assert cfg["experiment_name"] == "era5-swinv2-0.25-scm"
+    assert cfg["model"]["heads"] == 8
+    assert cfg["model"]["head_dim"] == 128
+    assert cfg["model"]["pos_embed_mode"] == "factorized"
+    assert "0.25deg" in cfg["data"]["dataset"]["root"]
+    assert len(cfg["data"]["dataset"]["variables"]) == 69
+
+    from swift_tpu.factory import build_model
+
+    model = build_model(
+        cfg["model"], img_resolution=(8, 16), in_channels=7, out_channels=2,
+        auxiliary_dim=1,
+    )
+    assert model.pos_embed_mode == "factorized"

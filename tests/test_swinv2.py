@@ -149,3 +149,45 @@ def test_decoupled_head_dim():
 
     g = jax.grad(loss)(params)
     assert all(jnp.isfinite(l).all() for l in jax.tree_util.tree_leaves(g))
+
+
+def test_factorized_pos_embed():
+    """pos_embed_mode="factorized" replaces the (1, gh*gw, dim) table with
+    row+col tables (the 0.25° single-chip training memory lever, PERF.md):
+    params are O(gh+gw), the forward equals the learned-mode forward when
+    the learned table is set to the broadcast sum, and grads flow into both
+    factors."""
+    m_f = tiny_model(pos_embed_mode="factorized")
+    x = jax.random.normal(jax.random.PRNGKey(3), (2, 8, 16, 6))
+    t = jnp.array([0.4, 0.7])
+    aux = jnp.ones((2, 1))
+    pf = m_f.init(jax.random.PRNGKey(0), x, t, auxiliary=aux)["params"]
+    # the output head is zero-init; randomize it so the learned-vs-factorized
+    # comparison below is not vacuously 0 == 0.
+    pf = dict(pf)
+    pf["head"] = {
+        "kernel": 0.1
+        * jax.random.normal(jax.random.PRNGKey(7), pf["head"]["kernel"].shape)
+    }
+    assert pf["pos_embed_row"].shape == (1, 4, 1, 32)
+    assert pf["pos_embed_col"].shape == (1, 1, 8, 32)
+    assert "pos_embed" not in pf
+
+    # learned-mode model with pos_embed := row + col reproduces the output
+    m_l = tiny_model()
+    pl = m_l.init(jax.random.PRNGKey(0), x, t, auxiliary=aux)["params"]
+    pl = dict(pl)
+    pl["pos_embed"] = (pf["pos_embed_row"] + pf["pos_embed_col"]).reshape(1, 32, 32)
+    for k in pf:
+        if not k.startswith("pos_embed"):
+            pl[k] = pf[k]
+    y_f = m_f.apply({"params": pf}, x, t, auxiliary=aux)
+    y_l = m_l.apply({"params": pl}, x, t, auxiliary=aux)
+    np.testing.assert_allclose(np.asarray(y_f), np.asarray(y_l), atol=1e-5)
+
+    def loss(p):
+        return jnp.sum(m_f.apply({"params": p}, x, t, auxiliary=aux) ** 2)
+
+    g = jax.grad(loss)(pf)
+    assert float(jnp.abs(g["pos_embed_row"]).sum()) > 0
+    assert float(jnp.abs(g["pos_embed_col"]).sum()) > 0
