@@ -278,6 +278,7 @@ def main(argv=None):
         seed=seed,
         profile=bool(tcfg.get("profile", False)),
         lr_fn=lr_fn,
+        grad_accum=int(tcfg.get("grad_accum", 1) or 1),
     )
 
     # tensor parallelism: when the configured mesh carries a model axis,

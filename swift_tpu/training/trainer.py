@@ -193,6 +193,7 @@ class Trainer:
         seed: int = 0,
         profile: bool = False,
         lr_fn=None,  # update-count -> lr, for tick logging (reference :463)
+        grad_accum: int = 1,
     ):
         self.precond = precond
         self.optimizer = optimizer
@@ -214,6 +215,14 @@ class Trainer:
         self.seed = seed
         self.profile = profile
         self.lr_fn = lr_fn
+        # Microbatch gradient accumulation (beyond the reference, which does
+        # one fwd/bwd per optimizer step — SURVEY.md §2.3): the device batch
+        # is split into `grad_accum` microbatches scanned sequentially, so
+        # activation memory scales with the MICRObatch while optimizer
+        # dynamics see the full batch. The lever for large effective batches
+        # on one chip (e.g. 0.25°, where a 16 GB v5e fits batch 1).
+        assert grad_accum >= 1
+        self.grad_accum = int(grad_accum)
         self.solver_type = "edm" if isinstance(loss_fn, EDMLoss) else "dpm"
         from swift_tpu.utils.wandb_utils import History
 
@@ -282,20 +291,49 @@ class Trainer:
         ema_halflife_nimg = self.ema_halflife_kimg * 1000
         rampup = self.ema_rampup_ratio
 
+        accum = self.grad_accum
+
         def step_fn(state: TrainState, batch: dict, key: jax.Array,
                     teacher_params=None):
-            def compute(params):
+            def compute(params, mb, k):
                 return loss_fn(
                     params,
-                    key,
-                    batch["t"],
-                    condition=batch["x"],
-                    auxiliary=batch["delta"],
-                    **self._loss_kwargs(state, batch, steps, delta,
+                    k,
+                    mb["t"],
+                    condition=mb["x"],
+                    auxiliary=mb["delta"],
+                    **self._loss_kwargs(state, mb, steps, delta,
                                         teacher_params),
                 )
 
-            loss, grads = jax.value_and_grad(compute)(state.params)
+            if accum > 1:
+                # scan over microbatches; grads accumulate in param dtype
+                # (fp32). Loss/grads are means over the full device batch
+                # (each microbatch loss is already a per-sample mean).
+                mbs = jax.tree_util.tree_map(
+                    lambda a: a.reshape(accum, a.shape[0] // accum,
+                                        *a.shape[1:]),
+                    batch,
+                )
+                keys = jax.random.split(key, accum)
+
+                def body(carry, inp):
+                    g_acc, l_acc = carry
+                    mb, k = inp
+                    l, g = jax.value_and_grad(compute)(state.params, mb, k)
+                    g_acc = jax.tree_util.tree_map(jnp.add, g_acc, g)
+                    return (g_acc, l_acc + l), None
+
+                zeros = jax.tree_util.tree_map(jnp.zeros_like, state.params)
+                (g_sum, l_sum), _ = jax.lax.scan(
+                    body, (zeros, jnp.float32(0.0)), (mbs, keys)
+                )
+                grads = jax.tree_util.tree_map(lambda g: g / accum, g_sum)
+                loss = l_sum / accum
+            else:
+                loss, grads = jax.value_and_grad(compute)(
+                    state.params, batch, key
+                )
             # NaN/Inf defense (reference trainer.py:223-231).
             grads = jax.tree_util.tree_map(
                 lambda g: jnp.nan_to_num(g, nan=0.0, posinf=1e5, neginf=-1e5), grads

@@ -304,3 +304,74 @@ def test_multi_device_dp():
     # params stay replicated (no accidental sharding)
     leaf = jax.tree_util.tree_leaves(new_state.params)[0]
     assert leaf.sharding.is_fully_replicated
+
+
+def test_grad_accum_matches_manual_mean(tmp_path):
+    """grad_accum=A: the jitted step applies the optimizer to the MEAN of
+    per-microbatch grads (keys split per microbatch), with activation memory
+    scaled to the microbatch. Verified against a manual per-microbatch
+    computation with the same key schedule."""
+    precond = make_precond()
+    loss_fn = make_loss(precond)
+    A, B = 2, 4
+    tr = Trainer(
+        precond, optax.sgd(1e-2), loss_fn, global_batch_size=B,
+        total_kimg=1, kimg_per_tick=1, checkpoint_ticks=None, val_ticks=None,
+        run_dir=str(tmp_path), grad_accum=A,
+    )
+    batch = fixed_batch(B)
+    key = jax.random.PRNGKey(42)
+    state0 = tr.state
+
+    # manual reference BEFORE the donated step invalidates state0 buffers
+    params0 = jax.tree_util.tree_map(jnp.copy, state0.params)
+    keys = jax.random.split(key, A)
+    mbs = jax.tree_util.tree_map(
+        lambda a: a.reshape(A, B // A, *a.shape[1:]), batch
+    )
+
+    def one(params, i):
+        mb = jax.tree_util.tree_map(lambda a: a[i], mbs)
+        return loss_fn(params, keys[i], mb["t"], condition=mb["x"],
+                       auxiliary=mb["delta"])
+
+    losses, grads = zip(*[
+        jax.value_and_grad(one)(params0, i) for i in range(A)
+    ])
+    gmean = jax.tree_util.tree_map(
+        lambda *g: sum(g) / A, *grads
+    )
+    updates, _ = tr.optimizer.update(gmean, state0.opt_state, params0)
+    expected = optax.apply_updates(params0, updates)
+    expected_loss = sum(float(l) for l in losses) / A
+
+    step = tr._get_step(1, None)
+    new_state, metrics = step(state0, batch, key)
+    np.testing.assert_allclose(float(metrics["loss"]), expected_loss,
+                               rtol=1e-5)
+    for a, b in zip(jax.tree_util.tree_leaves(new_state.params),
+                    jax.tree_util.tree_leaves(expected)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-5, atol=2e-6)
+
+
+def test_grad_accum_descends(tmp_path):
+    """A few accumulated steps on a fixed batch reduce the loss (the full
+    train-step path: scan over microbatches + EMA + nimg accounting)."""
+    precond = make_precond()
+    loss_fn = make_loss(precond)
+    tr = Trainer(
+        precond, optax.adam(1e-3), loss_fn, global_batch_size=4,
+        total_kimg=1, kimg_per_tick=1, checkpoint_ticks=None, val_ticks=None,
+        run_dir=str(tmp_path), grad_accum=2,
+    )
+    batch = fixed_batch(4)
+    step = tr._get_step(1, None)
+    state = tr.state
+    first = last = None
+    for i in range(8):
+        state, metrics = step(state, batch, jax.random.PRNGKey(7))
+        last = float(metrics["loss"])
+        first = last if first is None else first
+    assert last < first
+    assert float(state.nimg) == 8 * 4  # nimg counts the FULL batch
