@@ -313,6 +313,12 @@ def build_optimizer(
             adam_eps=float(cfg.get("adam_eps", 1e-10)),
             mesh=mesh,
             param_spec_fn=spec_fn,
+            # "bfloat16" halves Muon's optimizer state (0.25° memory lever);
+            # default None keeps the exact reference trajectory.
+            momentum_dtype=(
+                jnp.dtype(cfg["momentum_dtype"])
+                if cfg.get("momentum_dtype") else None
+            ),
         )
         return opt, schedules[0]
     if target == "MARS":

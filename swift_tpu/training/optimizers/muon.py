@@ -178,6 +178,7 @@ def scale_by_muon(
     mesh=None,
     shard_axis = ("data", "model"),
     param_spec_fn=None,
+    momentum_dtype=None,
 ) -> optax.GradientTransformation:
     """Raw Muon direction: momentum + Newton-Schulz orthogonalization.
 
@@ -187,10 +188,20 @@ def scale_by_muon(
     ``swift_tpu.parallel.sharding._spec_for``) marks TP feature shardings:
     those params take the all_to_all path that never fully replicates the
     momentum (see _tp_sharded_orthogonalize).
+
+    ``momentum_dtype`` (e.g. jnp.bfloat16) stores the momentum buffer in a
+    reduced dtype — the EMA blend still computes in fp32. Newton-Schulz
+    already runs in bf16 and normalizes its input, so the direction is
+    insensitive to momentum rounding; this halves Muon's optimizer state
+    (~0.5 GB for the 0.25° flagship, PERF.md memory ledger). Off (None =
+    param dtype) by default for exact parity with the reference trajectory.
     """
 
     def init_fn(params):
-        return MuonState(momentum=jax.tree_util.tree_map(jnp.zeros_like, params))
+        def zeros(p):
+            return jnp.zeros(p.shape, momentum_dtype or p.dtype)
+
+        return MuonState(momentum=jax.tree_util.tree_map(zeros, params))
 
     def _ortho(path, u):
         if u.ndim < 2:
@@ -222,15 +233,22 @@ def scale_by_muon(
         return _orthogonalized_update(u, ns_steps)
 
     def update_fn(updates, state, params=None):
-        new_momentum = jax.tree_util.tree_map(
-            lambda m, g: m + (1 - momentum) * (g - m), state.momentum, updates
-        )
+        def blend(m, g):
+            out = m.astype(jnp.float32) + (1 - momentum) * (
+                g.astype(jnp.float32) - m.astype(jnp.float32)
+            )
+            return out.astype(m.dtype)
+
+        new_momentum = jax.tree_util.tree_map(blend, state.momentum, updates)
         if nesterov:
             blended = jax.tree_util.tree_map(
-                lambda g, m: g + momentum * (m - g), updates, new_momentum
+                lambda g, m: g + momentum * (m.astype(g.dtype) - g),
+                updates, new_momentum,
             )
         else:
-            blended = new_momentum
+            blended = jax.tree_util.tree_map(
+                lambda g, m: m.astype(g.dtype), updates, new_momentum
+            )
         ortho = jax.tree_util.tree_map_with_path(_ortho, blended)
         return ortho, MuonState(momentum=new_momentum)
 
@@ -246,11 +264,12 @@ def muon(
     mesh=None,
     shard_axis = ("data", "model"),
     param_spec_fn=None,
+    momentum_dtype=None,
 ) -> optax.GradientTransformation:
     """Standalone Muon with AdamW-style decoupled weight decay."""
     return optax.chain(
         scale_by_muon(momentum, ns_steps, nesterov, mesh, shard_axis,
-                      param_spec_fn),
+                      param_spec_fn, momentum_dtype),
         optax.add_decayed_weights(weight_decay),
         optax.scale_by_learning_rate(learning_rate),
     )
@@ -307,6 +326,7 @@ def muon_with_aux_adam(
     mesh=None,
     shard_axis = ("data", "model"),
     param_spec_fn=None,
+    momentum_dtype=None,
 ) -> optax.GradientTransformation:
     """Combined Muon + aux Adam (reference muon.py:157-262).
 
@@ -320,7 +340,7 @@ def muon_with_aux_adam(
     return optax.multi_transform(
         {
             "muon": muon(lr, momentum, ns_steps, True, weight_decay,
-                         mesh, shard_axis, param_spec_fn),
+                         mesh, shard_axis, param_spec_fn, momentum_dtype),
             "adam": _aux_adam(adam_lr, adam_betas, adam_eps, adam_weight_decay),
         },
         param_labels,

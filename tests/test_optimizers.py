@@ -224,3 +224,38 @@ def test_muon_tp_aware_ns_matches_and_avoids_full_gather():
         )
     ]
     assert not bad, "full-stack all-gather found in HLO:\n" + "\n".join(bad)
+
+
+def test_muon_bf16_momentum_tracks_fp32():
+    """momentum_dtype=bfloat16 halves Muon's optimizer state (the 0.25°
+    memory lever, PERF.md); the update trajectory must stay close to fp32
+    momentum (NS normalizes its input, so momentum rounding barely moves
+    the direction). Default None must keep fp32 state."""
+    params = {"w": jax.random.normal(jax.random.PRNGKey(3), (32, 16))}
+    grads = [
+        {"w": jax.random.normal(jax.random.PRNGKey(10 + i), (32, 16)) * 0.1}
+        for i in range(5)
+    ]
+
+    def run(momentum_dtype):
+        opt = muon(0.02, momentum_dtype=momentum_dtype)
+        state = opt.init(params)
+        p = params
+        for g in grads:
+            updates, state = opt.update(g, state, p)
+            p = optax.apply_updates(p, updates)
+        return p, state
+
+    p32, s32 = run(None)
+    pb, sb = run(jnp.bfloat16)
+    mom32 = jax.tree_util.tree_leaves(s32)[0]
+    momb = jax.tree_util.tree_leaves(sb)[0]
+    assert mom32.dtype == jnp.float32
+    assert momb.dtype == jnp.bfloat16
+    # trajectories agree to bf16-rounding accuracy after 5 steps
+    np.testing.assert_allclose(
+        np.asarray(pb["w"]), np.asarray(p32["w"]), atol=3e-2
+    )
+    # and the bf16 run still descends like the fp32 one on a quadratic
+    _quadratic_descent(muon(0.05, momentum_dtype=jnp.bfloat16),
+                       {"w": jnp.zeros((16, 16))})
