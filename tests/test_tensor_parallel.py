@@ -330,3 +330,69 @@ def test_quarter_degree_spatial_sharded_scm_train_step():
                     jax.tree_util.tree_leaves(p_ref)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=2e-3, atol=2e-4)
+
+
+def test_quarter_degree_record_config_spatial_sharded_train_step():
+    """The 0.25° config of record (era5-swinv2-0.25-scm.yaml) composes three
+    TPU-first levers: factorized pos embed, decoupled head_dim, and bf16
+    Muon momentum. This proves the full sCM train step with that feature
+    combination runs latitude-sharded over 8 devices and matches the
+    replicated step (same structure as the learned-mode test above)."""
+    import optax
+
+    from swift_tpu.parallel.sharding import spatial_sharding
+    from swift_tpu.training.loss import SCMLoss
+    from swift_tpu.training.optimizers import muon_with_aux_adam
+    from swift_tpu.training.trainer import muon_param_labels
+
+    Hq, Wq, Cq = 64, 32, 2
+    model = SwinV2(
+        img_resolution=(Hq, Wq), in_channels=2 * Cq, out_channels=Cq,
+        window_size=(4, 4), shift_size=(2, 2), patch_size=(2, 2),
+        depth=2, dim=32, heads=2, head_dim=24,  # inner 48 != dim
+        pos_embed_mode="factorized", auxiliary_dim=1, logvar=True,
+        dtype=jnp.float32, use_pallas=False,
+    )
+    p = PassPrecond(model=model, img_resolution=(Hq, Wq), img_channels=Cq,
+                    condition_channels=Cq, auxiliary_dim=1, sigma_data=1.0)
+    params = p.init(jax.random.PRNGKey(0))
+    loss = SCMLoss(
+        precond=p, lat_dim=Hq,
+        variables=("2m_temperature", "geopotential_500"),
+        noise={"dist": "loguniform", "sigma_min": 0.02, "sigma_max": 200.0},
+        tangent_warmup_kimg=1,
+    )
+    optimizer = muon_with_aux_adam(
+        muon_param_labels, lr=0.02, adam_lr=3e-4,
+        momentum_dtype=jnp.bfloat16,
+    )
+    opt_state = optimizer.init(params)
+
+    rng = np.random.default_rng(4)
+    x = jnp.asarray(rng.standard_normal((1, Hq, Wq, Cq)).astype(np.float32))
+    cond = jnp.asarray(rng.standard_normal((1, Hq, Wq, Cq)).astype(np.float32))
+    aux = jnp.full((1, 1), 0.6)
+
+    @jax.jit
+    def step(pp, oo, x, cond):
+        l, grads = jax.value_and_grad(
+            lambda q: loss(q, jax.random.PRNGKey(5), x, step=100.0,
+                           condition=cond, auxiliary=aux)
+        )(pp)
+        updates, oo = optimizer.update(grads, oo, pp)
+        return l, optax.apply_updates(pp, updates)
+
+    l_ref, p_ref = step(params, opt_state, x, cond)
+
+    mesh = Mesh(np.array(jax.devices()), ("data",))
+    sp = spatial_sharding(mesh, 4)
+    xs = jax.device_put(x, sp)
+    cs = jax.device_put(cond, sp)
+    with mesh:
+        l_sp, p_sp = step(params, opt_state, xs, cs)
+
+    np.testing.assert_allclose(float(l_sp), float(l_ref), rtol=1e-4)
+    for a, b in zip(jax.tree_util.tree_leaves(p_sp),
+                    jax.tree_util.tree_leaves(p_ref)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-3, atol=2e-4)
