@@ -375,3 +375,29 @@ def test_grad_accum_descends(tmp_path):
         first = last if first is None else first
     assert last < first
     assert float(state.nimg) == 8 * 4  # nimg counts the FULL batch
+
+
+def test_grad_accum_multi_device_dp():
+    """grad_accum under an 8-device data mesh: the microbatch reshape
+    (B,) -> (A, B/A) must keep each microbatch sharded over the data axis
+    (B/A still divides the device count) and match the accum=1 DP loss
+    semantics (finite loss, replicated params after the step)."""
+    from swift_tpu.parallel.mesh import make_mesh, replicate, shard_batch
+
+    assert jax.device_count() == 8
+    mesh = make_mesh(("data",))
+    p = make_precond()
+    tr = Trainer(
+        p, optax.adamw(1e-3), make_loss(p), global_batch_size=16,
+        total_kimg=1, run_dir="/tmp/dp_accum_test", grad_accum=2,
+    )
+    batch = shard_batch(fixed_batch(B=16), mesh)
+    state = type(tr.state)(
+        replicate(tr.state.params, mesh), replicate(tr.state.ema, mesh),
+        replicate(tr.state.opt_state, mesh), tr.state.nimg,
+    )
+    step = tr._get_step(1, None)
+    new_state, m = step(state, batch, jax.random.PRNGKey(0))
+    assert np.isfinite(float(m["loss"]))
+    leaf = jax.tree_util.tree_leaves(new_state.params)[0]
+    assert leaf.sharding.is_fully_replicated
