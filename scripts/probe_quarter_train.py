@@ -78,7 +78,11 @@ def main():
     )
     loss = (SCMLoss(tangent_warmup_kimg=10000, **lkw) if which == "scm"
             else TrigFlowLoss(**lkw))
-    optimizer = muon_with_aux_adam(muon_param_labels, lr=0.02, adam_lr=3e-4)
+    # QT_MOM_BF16=1: reduced-precision Muon momentum (another ~0.5 GB at
+    # this grid; see muon.momentum_dtype).
+    mom_dtype = jnp.bfloat16 if os.environ.get("QT_MOM_BF16", "1") == "1" else None
+    optimizer = muon_with_aux_adam(muon_param_labels, lr=0.02, adam_lr=3e-4,
+                                   momentum_dtype=mom_dtype)
 
     rng = np.random.default_rng(0)
     shapes = jax.eval_shape(lambda: pre.init(jax.random.PRNGKey(0)))

@@ -249,6 +249,59 @@ def _ffn_tangent_call(x2, dx2, wg, wu, w2):
     )(x2, dx2, wg, wu, w2)
 
 
+def _ffn_pt_kernel(x_ref, dx_ref, wg_ref, wu_ref, w2_ref, o_ref, do_ref):
+    """COMBINED primal+tangent: gate/up computed ONCE and shared between
+    y and dy in VMEM — 6 matmuls total vs 3+5 for separate primal/tangent
+    kernels (the tangent kernel recomputes g/u). PERF.md r4 lever (a)."""
+    x = x_ref[...]
+    dx = dx_ref[...]
+    g = jnp.dot(x, wg_ref[...], preferred_element_type=jnp.float32)
+    u = jnp.dot(x, wu_ref[...], preferred_element_type=jnp.float32)
+    dg = jnp.dot(dx, wg_ref[...], preferred_element_type=jnp.float32)
+    du = jnp.dot(dx, wu_ref[...], preferred_element_type=jnp.float32)
+    sig = jax.nn.sigmoid(g)
+    sg = g * sig
+    o_ref[...] = jnp.dot(
+        (sg * u).astype(x.dtype), w2_ref[...],
+        preferred_element_type=jnp.float32,
+    ).astype(o_ref.dtype)
+    dh = (sig * (1 + g * (1 - sig))) * dg * u + sg * du
+    do_ref[...] = jnp.dot(
+        dh.astype(x.dtype), w2_ref[...], preferred_element_type=jnp.float32
+    ).astype(do_ref.dtype)
+
+
+def _ffn_pt_call(x2, dx2, wg, wu, w2):
+    T, D = x2.shape
+    H = wg.shape[1]
+    # smaller tiles than the primal-only kernel: six (bt, H) fp32
+    # intermediates live per tile.
+    bt = min(_pick_block(T), 256)
+    tok = lambda: pl.BlockSpec((bt, D), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM)
+    const = lambda s: pl.BlockSpec(s, lambda i: (0, 0),
+                                   memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        _ffn_pt_kernel,
+        grid=(T // bt,),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=110 * 1024 * 1024,
+        ),
+        in_specs=[tok(), tok(), const((D, H)), const((D, H)),
+                  const((H, D))],
+        out_specs=[tok(), tok()],
+        out_shape=[
+            jax.ShapeDtypeStruct((T, D), x2.dtype),
+            jax.ShapeDtypeStruct((T, D), x2.dtype),
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=2 * T * D * H * 6,
+            bytes_accessed=(4 * T * D + 3 * D * H) * x2.dtype.itemsize,
+            transcendentals=T * H,
+        ),
+    )(x2, dx2, wg, wu, w2)
+
+
 @jax.custom_jvp
 def _fused_swiglu_jvp_capable(x2, wg, wu, w2):
     """Same fused primal, plus a forward-mode rule (the sCM tangent path,
@@ -265,8 +318,10 @@ def _fused_swiglu_jvp_capable(x2, wg, wu, w2):
 def _fused_swiglu_jvp_rule(primals, tangents):
     x2, wg, wu, w2 = primals
     dx2 = tangents[0]
-    o = _fused_swiglu(x2, wg, wu, w2)  # vjp-capable primal
-    do = _ffn_tangent_call(
+    # one combined kernel for (y, dy): gate/up shared in VMEM. The sCM loss
+    # stop_gradients both jvp-forward outputs (loss.py), so the primal
+    # needs no vjp rule here.
+    o, do = _ffn_pt_call(
         jax.lax.stop_gradient(x2),
         jax.lax.stop_gradient(dx2.astype(x2.dtype)),
         jax.lax.stop_gradient(wg),

@@ -130,8 +130,9 @@ def test_fused_swiglu_modnorm_matches_composition():
 
 
 def test_jvp_variant_matches_reference():
-    """jax.jvp through the jvp-capable entry (fused tangent kernel) == jvp
-    through the jnp reference (the sCM jvp forward path)."""
+    """jax.jvp through the jvp-capable entry (combined primal+tangent
+    kernel, gate/up shared in VMEM) == jvp through the jnp reference (the
+    sCM jvp forward path)."""
     x, w1, w2 = _inputs(3)
     dx = jax.random.normal(jax.random.PRNGKey(9), x.shape, x.dtype)
 
@@ -144,4 +145,21 @@ def test_jvp_variant_matches_reference():
     np.testing.assert_allclose(np.asarray(op), np.asarray(orf),
                                rtol=2e-3, atol=2e-3)
     np.testing.assert_allclose(np.asarray(dop), np.asarray(dorf),
+                               rtol=2e-3, atol=2e-3)
+
+
+def test_combined_primal_tangent_kernel_direct():
+    """_ffn_pt_call emits (y, dy) from one pass; both must match the
+    separate primal kernel and the jnp jvp."""
+    x, w1, w2 = _inputs(4)
+    dx = jax.random.normal(jax.random.PRNGKey(11), x.shape, x.dtype)
+    H = w1.shape[1] // 2
+    wg, wu = w1[:, :H], w1[:, H:]
+    o, do = pf._ffn_pt_call(x, dx, wg, wu, w2)
+    o_ref, do_ref = jax.jvp(
+        lambda x: pf.reference_swiglu_ffn(x, w1, w2), (x,), (dx,)
+    )
+    np.testing.assert_allclose(np.asarray(o), np.asarray(o_ref),
+                               rtol=2e-3, atol=2e-3)
+    np.testing.assert_allclose(np.asarray(do), np.asarray(do_ref),
                                rtol=2e-3, atol=2e-3)
