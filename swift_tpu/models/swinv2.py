@@ -24,6 +24,7 @@ AD rule (used by the sCM loss through ``jax.jvp``).
 from __future__ import annotations
 
 import math
+import os
 from typing import Any, Optional, Sequence
 
 import jax
@@ -142,7 +143,11 @@ class ModulatedNorm(nn.Module):
         if x is not None:
             for s in x.shape[1:-1]:
                 tokens *= s
-        big_grid = tokens >= 65536
+        # threshold env-overridable so scripts/probe_jvp_variants.py can
+        # force the fused path at flagship grids for A/B measurement
+        big_grid = tokens >= int(
+            os.environ.get("SWIFT_JVP_FUSED_MIN_TOKENS", "65536")
+        )
         if use_pallas and residual is not None and (not jvp or big_grid):
             try:
                 return sharded_modnorm_residual(
@@ -212,7 +217,11 @@ class FeedForward(nn.Module):
         tokens = 1
         for s in x.shape[1:-1]:
             tokens *= s
-        big_grid = tokens >= 65536
+        # threshold env-overridable so scripts/probe_jvp_variants.py can
+        # force the fused path at flagship grids for A/B measurement
+        big_grid = tokens >= int(
+            os.environ.get("SWIFT_JVP_FUSED_MIN_TOKENS", "65536")
+        )
         fused = use_pallas and self.mesh is None and (not jvp or big_grid)
         if fused:
             # FFN matmul chain fused; the norm+residual epilogue stays a
