@@ -611,68 +611,99 @@ class SwinV2(nn.Module):
         auxiliary: Optional[jnp.ndarray] = None,
         jvp: bool = False,
         return_logvar: bool = False,
+        stage: Optional[str] = None,
     ):
+        """Full forward (``stage=None``) or one pipeline stage.
+
+        ``stage`` carves the forward into the three pieces the
+        pipeline-parallel executor (parallel/pipeline.py) schedules across
+        a ``pipe`` mesh axis — the reference only stubbed this
+        (``pipeline_engine`` dead kwarg + "TODO: PP Prediction",
+        reference generating/diffusion.py:25,65-71):
+
+        * ``"embed"``:  (x, t, auxiliary) -> (hidden (B, N, dim),
+          conditioning vector (B, dim) fp32);
+        * ``"pairs"``:  reinterprets (x, t) as (hidden, conditioning) and
+          runs this model's block-pair stack (clone with ``depth`` = 2x the
+          local pair count to run a slice of a larger model's stack);
+        * ``"head"``:   reinterprets (x, t) as (hidden, conditioning) and
+          applies the output (+logvar) head.
+
+        Each stage touches only its own parameters, so it can be applied
+        with a params subtree (flax ignores unvisited entries).
+        """
+        assert stage in (None, "embed", "pairs", "head")
         H, W = _as_2tuple(self.img_resolution)
         ph, pw = _as_2tuple(self.patch_size)
         wh, ww = _as_2tuple(self.window_size)
         gh, gw = H // ph, W // pw
         B = x.shape[0]
-        assert x.shape[1] == H and x.shape[2] == W, (
-            f"expected NHWC input {(H, W)}, got {x.shape}"
-        )
-
-        # --- patch embedding: (B, H, W, C) -> (B, gh*gw, ph*pw*C) -> dim.
-        # Feature ordering (p1, p2, c) matches the reference rearrange
-        # (swinv2.py:224-229) so checkpoints map 1:1.
-        xp = x.reshape(B, gh, ph, gw, pw, x.shape[-1])
-        xp = xp.transpose(0, 1, 3, 2, 4, 5).reshape(B, gh * gw, ph * pw * x.shape[-1])
-        h = nn.Dense(
-            self.dim, kernel_init=_TRUNC02, dtype=self.dtype, name="patch_embed"
-        )(xp)
-        h = _wsc(h, self.mesh, self.data_axis, None, None)
-
-        pos_init = lambda key, shape: 0.02 * jax.random.normal(  # noqa: E731
-            key, shape, jnp.float32
-        )
-        if self.pos_embed_mode == "factorized":
-            pos_r = self.param("pos_embed_row", pos_init, (1, gh, 1, self.dim))
-            pos_c = self.param("pos_embed_col", pos_init, (1, 1, gw, self.dim))
-            # broadcast sum in bf16; XLA fuses it into the add (the full
-            # (gh, gw, dim) table never hits HBM in fp32).
-            pos2d = pos_r.astype(self.dtype) + pos_c.astype(self.dtype)
-            h = h + pos2d.reshape(1, gh * gw, self.dim)
+        if stage in ("pairs", "head"):
+            # (x, t) are (hidden states, conditioning vector) here.
+            h = x
+            cond = jnp.asarray(t, jnp.float32)
+            assert h.shape[1:] == (gh * gw, self.dim) and cond.shape == (B, self.dim)
         else:
-            pos = self.param("pos_embed", pos_init, (1, gh * gw, self.dim))
-            h = h + pos.astype(self.dtype)
+            assert x.shape[1] == H and x.shape[2] == W, (
+                f"expected NHWC input {(H, W)}, got {x.shape}"
+            )
 
-        # --- conditioning vector.
-        t = jnp.asarray(t, jnp.float32)
-        if t.ndim == 0:
-            t = jnp.broadcast_to(t[None], (B,))
-        elif t.shape[0] == 1 and B > 1:
-            t = jnp.broadcast_to(t, (B,))
-        emb = timestep_embedding(t * self.timestep_weight, self.dim)
-        if self.auxiliary_dim and auxiliary is not None:
-            aux = jnp.asarray(auxiliary, jnp.float32).reshape(B, self.auxiliary_dim)
-            emb = emb + nn.Dense(
-                self.dim,
-                kernel_init=_TRUNC02,
-                dtype=jnp.float32,
-                name="auxiliary_embed",
-            )(aux * math.sqrt(self.auxiliary_dim))
-        # latent MLP (reference swinv2.py:67-74): silu(l2(silu(l1(e)))).
-        e = nn.Dense(self.dim, kernel_init=_TRUNC02, dtype=jnp.float32, name="latent_l1")(emb)
-        e = nn.Dense(self.dim, kernel_init=_TRUNC02, dtype=jnp.float32, name="latent_l2")(
-            jax.nn.silu(e)
-        )
-        cond = jax.nn.silu(e)
+            # --- patch embedding: (B, H, W, C) -> (B, gh*gw, ph*pw*C) -> dim.
+            # Feature ordering (p1, p2, c) matches the reference rearrange
+            # (swinv2.py:224-229) so checkpoints map 1:1.
+            xp = x.reshape(B, gh, ph, gw, pw, x.shape[-1])
+            xp = xp.transpose(0, 1, 3, 2, 4, 5).reshape(B, gh * gw, ph * pw * x.shape[-1])
+            h = nn.Dense(
+                self.dim, kernel_init=_TRUNC02, dtype=self.dtype, name="patch_embed"
+            )(xp)
+            h = _wsc(h, self.mesh, self.data_axis, None, None)
+
+            pos_init = lambda key, shape: 0.02 * jax.random.normal(  # noqa: E731
+                key, shape, jnp.float32
+            )
+            if self.pos_embed_mode == "factorized":
+                pos_r = self.param("pos_embed_row", pos_init, (1, gh, 1, self.dim))
+                pos_c = self.param("pos_embed_col", pos_init, (1, 1, gw, self.dim))
+                # broadcast sum in bf16; XLA fuses it into the add (the full
+                # (gh, gw, dim) table never hits HBM in fp32).
+                pos2d = pos_r.astype(self.dtype) + pos_c.astype(self.dtype)
+                h = h + pos2d.reshape(1, gh * gw, self.dim)
+            else:
+                pos = self.param("pos_embed", pos_init, (1, gh * gw, self.dim))
+                h = h + pos.astype(self.dtype)
+
+            # --- conditioning vector.
+            t = jnp.asarray(t, jnp.float32)
+            if t.ndim == 0:
+                t = jnp.broadcast_to(t[None], (B,))
+            elif t.shape[0] == 1 and B > 1:
+                t = jnp.broadcast_to(t, (B,))
+            emb = timestep_embedding(t * self.timestep_weight, self.dim)
+            if self.auxiliary_dim and auxiliary is not None:
+                aux = jnp.asarray(auxiliary, jnp.float32).reshape(B, self.auxiliary_dim)
+                emb = emb + nn.Dense(
+                    self.dim,
+                    kernel_init=_TRUNC02,
+                    dtype=jnp.float32,
+                    name="auxiliary_embed",
+                )(aux * math.sqrt(self.auxiliary_dim))
+            # latent MLP (reference swinv2.py:67-74): silu(l2(silu(l1(e)))).
+            e = nn.Dense(self.dim, kernel_init=_TRUNC02, dtype=jnp.float32, name="latent_l1")(emb)
+            e = nn.Dense(self.dim, kernel_init=_TRUNC02, dtype=jnp.float32, name="latent_l2")(
+                jax.nn.silu(e)
+            )
+            cond = jax.nn.silu(e)
+        if stage == "embed":
+            return h, cond
         cond_c = cond.astype(self.dtype)
 
         # --- transformer stack.
         head_dim = self.head_dim or self.dim // self.heads
         mlp_dim = int(8 / 3.0 * self.dim)
         sh, sw = _as_2tuple(self.shift_size)
-        if self.scan_layers and self.depth % 2 == 0:
+        if stage == "head":
+            pass
+        elif self.scan_layers and self.depth % 2 == 0:
             body = SwinBlockPair
             if self.remat_layers and not jvp:
                 # prevent_cse=False is safe (and faster) under scan. The
@@ -715,6 +746,8 @@ class SwinV2(nn.Module):
                     data_axis=self.data_axis,
                     model_axis=self.model_axis,
                 )(h, cond_c, jvp)
+        if stage == "pairs":
+            return h
 
         # --- output head: (B, N, dim) -> (B, H, W, out_channels), zero-init.
         # Feature ordering (c, p1, p2) matches reference swinv2.py:240-243.

@@ -14,10 +14,12 @@ streamed through — the 2·hidden intermediate lives only in VMEM.
 Flagship sizes: Wg/Wu (1056, 2816) + W2 (2816, 1056) in bf16 ≈ 17.8 MB of
 VMEM — fits v5e VMEM with room for the streamed tiles.
 
-Reverse-mode: custom_vjp whose backward recomputes gate/up with plain XLA
-einsums (the same expressions autodiff of the jnp path produces).
-Forward-mode (the sCM jvp branch) does NOT use this kernel — FeedForward
-routes jvp=True through the jnp path, mirroring the attention split.
+Reverse-mode: custom_vjp whose backward is a single fused pallas pass
+(gate/up recomputed in VMEM, weight grads accumulated in fp32 VMEM across
+token tiles — see _ffn_bwd_kernel). Forward-mode (the sCM jvp branch):
+``fused_swiglu_ffn(..., jvp=True)`` carries a custom_jvp whose rule is the
+combined primal+tangent kernel; FeedForward routes jvp=True here only on
+large grids (small grids measured faster on the jnp path — PERF.md ledger).
 """
 
 from __future__ import annotations

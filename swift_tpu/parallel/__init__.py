@@ -4,3 +4,4 @@ from swift_tpu.parallel.mesh import (
     shard_batch,
     replicate,
 )
+from swift_tpu.parallel.pipeline import pipelined_swinv2_forward

@@ -1,0 +1,161 @@
+"""Pipeline parallelism for prediction — collective pipelining on a mesh.
+
+The reference planned but never implemented pipeline-parallel prediction:
+``pipeline_engine`` is a dead kwarg and the solver bodies carry
+"## TODO: PP Prediction" stubs (reference src/swift/generating/
+diffusion.py:25,65-71,81-87). This module implements it the TPU-native way:
+**collective pipelining** (the scaling-book pattern) rather than a stage
+scheduler —
+
+* the SwinV2 block-pair stack (already a stacked ``nn.scan`` parameter
+  axis) is sharded over a ``pipe`` mesh axis inside ``shard_map``: stage
+  ``s`` holds ``n_pairs / S`` consecutive pairs;
+* the batch is split into ``M`` microbatches that rotate stage-to-stage
+  with ``lax.ppermute`` — one jitted ``lax.scan`` over ``S + M - 1`` clock
+  ticks, no host round-trips;
+* embedding/head parameters are replicated; every stage runs the (cheap,
+  ~2% of a pair-stack pass) embed/head on its current buffer and the
+  results are simply unused except at stage 0 / stage S-1 — data-parallel
+  garbage instead of control flow keeps the program a straight scan.
+
+Pipeline bubble: (S - 1) / (M + S - 1) idle fraction — choose
+``n_micro >= S``. For the flagship (6 pairs) S ∈ {2, 3, 6}.
+
+When to use: ensemble forecasting shards (member × ic) — embarrassingly
+parallel, always preferable when the model fits one chip. PP is the lever
+when a future model's *layer stack* outgrows a single device's HBM (the
+0.25°-and-beyond regime), composing with data axes on the same mesh.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Optional
+
+import jax
+import jax.numpy as jnp
+from jax import shard_map
+from jax.sharding import PartitionSpec as P
+
+
+def pipelined_swinv2_forward(
+    model: Any,
+    variables: dict,
+    x: jnp.ndarray,
+    t: jnp.ndarray,
+    auxiliary: Optional[jnp.ndarray] = None,
+    *,
+    mesh,
+    pipe_axis: str = "pipe",
+    n_micro: Optional[int] = None,
+):
+    """SwinV2 forward with the block-pair stack pipelined over ``pipe_axis``.
+
+    model: the SwinV2 module (``scan_layers`` layout required — the pair
+      stack must be a stacked parameter axis).
+    variables: the model's full variable dict (``{"params": ...}``).
+    x: (B, H, W, in_channels); t: () or (B,); auxiliary: (B, aux_dim) or
+      None. B must be divisible by ``n_micro`` (default: the pipe size).
+
+    Returns the (B, H, W, out_channels) fp32 prediction, numerically equal
+    to ``model.apply(variables, x, t, auxiliary)``.
+    """
+    assert model.scan_layers and model.depth % 2 == 0, (
+        "pipeline parallelism requires the scan-over-pairs parameter layout"
+    )
+    params = variables["params"]
+    pair_params = params["pairs"]
+    rest = {k: v for k, v in params.items() if k != "pairs"}
+    n_pairs = jax.tree_util.tree_leaves(pair_params)[0].shape[0]
+
+    S = mesh.shape[pipe_axis]
+    if n_pairs % S != 0:
+        raise ValueError(f"{n_pairs} block pairs do not split over {S} stages")
+    M = int(n_micro) if n_micro else S
+    B = x.shape[0]
+    if B % M != 0:
+        raise ValueError(f"batch {B} does not split into {M} microbatches")
+    mb = B // M
+
+    H, W = model.img_resolution
+    ph, pw = model.patch_size
+    N = (H // ph) * (W // pw)
+    D = model.dim
+
+    t = jnp.asarray(t, jnp.float32)
+    if t.ndim == 0:
+        t = jnp.broadcast_to(t[None], (B,))
+    elif t.shape[0] == 1 and B > 1:
+        t = jnp.broadcast_to(t.reshape(1), (B,))
+    tm = t.reshape(M, mb)
+    xm = x.reshape(M, mb, *x.shape[1:])
+    has_aux = auxiliary is not None
+    am = (
+        jnp.asarray(auxiliary, jnp.float32).reshape(M, mb, -1)
+        if has_aux
+        else jnp.zeros((M, mb, 1), jnp.float32)
+    )
+
+    # Stage applies run on per-device (unsharded) buffers: drop the TP mesh
+    # hints, remat (inference), and set the clone's depth to the local pair
+    # count so the scanned module matches the params shard it is given.
+    m_full = model.clone(mesh=None, remat_layers=False, remat_blocks=False)
+    m_local = m_full.clone(depth=2 * (n_pairs // S))
+
+    def stage_fn(rest_p, pairs_p, xm, tm, am):
+        s = jax.lax.axis_index(pipe_axis)
+        perm = [(i, (i + 1) % S) for i in range(S)]
+
+        def embed(k):
+            idx = jnp.clip(k, 0, M - 1)
+            xk = jax.lax.dynamic_index_in_dim(xm, idx, 0, keepdims=False)
+            tk = jax.lax.dynamic_index_in_dim(tm, idx, 0, keepdims=False)
+            ak = (
+                jax.lax.dynamic_index_in_dim(am, idx, 0, keepdims=False)
+                if has_aux
+                else None
+            )
+            return m_full.apply(
+                {"params": rest_p}, xk, tk, ak, stage="embed"
+            )
+
+        def tick(carry, k):
+            h, cond, out = carry
+            # inject microbatch k at stage 0 (other stages got theirs from
+            # the rotation below; the wrap-around into stage 0 is overwritten)
+            h0, c0 = embed(k)
+            first = jnp.equal(s, 0)
+            h = jnp.where(first, h0.astype(h.dtype), h)
+            cond = jnp.where(first, c0, cond)
+            # local slice of the pair stack
+            h = m_local.apply({"params": {"pairs": pairs_p}}, h, cond,
+                              stage="pairs")
+            # emit microbatch k-(S-1) at the last stage
+            y = m_full.apply({"params": rest_p}, h, cond, stage="head")
+            emit = k - (S - 1)
+            valid = jnp.logical_and(jnp.equal(s, S - 1), emit >= 0)
+            eidx = jnp.clip(emit, 0, M - 1)
+            prev = jax.lax.dynamic_index_in_dim(out, eidx, 0, keepdims=False)
+            out = jax.lax.dynamic_update_index_in_dim(
+                out, jnp.where(valid, y, prev), eidx, 0
+            )
+            h = jax.lax.ppermute(h, pipe_axis, perm)
+            cond = jax.lax.ppermute(cond, pipe_axis, perm)
+            return (h, cond, out), None
+
+        init = (
+            jnp.zeros((mb, N, D), m_full.dtype),
+            jnp.zeros((mb, D), jnp.float32),
+            jnp.zeros((M, mb, H, W, model.out_channels), jnp.float32),
+        )
+        (_, _, out), _ = jax.lax.scan(tick, init, jnp.arange(M + S - 1))
+        return out[None]  # (1, M, mb, H, W, C) -> stacked over stages
+
+    out = shard_map(
+        stage_fn,
+        mesh=mesh,
+        in_specs=(P(), P(pipe_axis), P(), P(), P()),
+        out_specs=P(pipe_axis),
+        check_vma=False,
+    )(rest, pair_params, xm, tm, am)
+    # only the last stage's buffer holds real outputs
+    return out[S - 1].reshape(B, H, W, model.out_channels)
