@@ -21,6 +21,12 @@ scheduler —
 Pipeline bubble: (S - 1) / (M + S - 1) idle fraction — choose
 ``n_micro >= S``. For the flagship (6 pairs) S ∈ {2, 3, 6}.
 
+The schedule is differentiable: ``jax.grad`` through the ppermute rotation
+yields per-stage gradients for the stage-sharded pair parameters and
+correctly psum'd gradients for the replicated embed/head parameters
+(tests/test_pipeline.py::test_pipelined_forward_grads_match) — the
+executor supports pipeline-parallel training, not just prediction.
+
 When to use: ensemble forecasting shards (member × ic) — embarrassingly
 parallel, always preferable when the model fits one chip. PP is the lever
 when a future model's *layer stack* outgrows a single device's HBM (the
