@@ -65,6 +65,18 @@ def _wsc(x, mesh, *entries):
     return jax.lax.with_sharding_constraint(x, NamedSharding(mesh, PartitionSpec(*spec)))
 
 
+def _broadcast_t(t, B: int) -> jnp.ndarray:
+    """Normalize a timestep input — () / (1,) / (B,) — to fp32 (B,).
+    Shared by SwinV2.__call__ and the pipeline executor so the accepted
+    forms can't diverge."""
+    t = jnp.asarray(t, jnp.float32)
+    if t.ndim == 0:
+        t = jnp.broadcast_to(t[None], (B,))
+    elif t.shape[0] == 1 and B > 1:
+        t = jnp.broadcast_to(t.reshape(1), (B,))
+    return t
+
+
 def _as_2tuple(v) -> tuple[int, int]:
     if isinstance(v, int):
         return (v, v)
@@ -673,11 +685,7 @@ class SwinV2(nn.Module):
                 h = h + pos.astype(self.dtype)
 
             # --- conditioning vector.
-            t = jnp.asarray(t, jnp.float32)
-            if t.ndim == 0:
-                t = jnp.broadcast_to(t[None], (B,))
-            elif t.shape[0] == 1 and B > 1:
-                t = jnp.broadcast_to(t, (B,))
+            t = _broadcast_t(t, B)
             emb = timestep_embedding(t * self.timestep_weight, self.dim)
             if self.auxiliary_dim and auxiliary is not None:
                 aux = jnp.asarray(auxiliary, jnp.float32).reshape(B, self.auxiliary_dim)

@@ -39,8 +39,6 @@ from typing import Any, Optional
 
 import jax
 import jax.numpy as jnp
-from jax import shard_map
-from jax.sharding import PartitionSpec as P
 
 
 def pipelined_swinv2_forward(
@@ -65,6 +63,13 @@ def pipelined_swinv2_forward(
     Returns the (B, H, W, out_channels) fp32 prediction, numerically equal
     to ``model.apply(variables, x, t, auxiliary)``.
     """
+    # lazy imports: jax.shard_map is newer API than some of the package's
+    # import-time floor; parallel/__init__ must stay importable everywhere.
+    from jax import shard_map
+    from jax.sharding import PartitionSpec as P
+
+    from swift_tpu.models.swinv2 import _as_2tuple, _broadcast_t
+
     assert model.scan_layers and model.depth % 2 == 0, (
         "pipeline parallelism requires the scan-over-pairs parameter layout"
     )
@@ -76,23 +81,20 @@ def pipelined_swinv2_forward(
     S = mesh.shape[pipe_axis]
     if n_pairs % S != 0:
         raise ValueError(f"{n_pairs} block pairs do not split over {S} stages")
-    M = int(n_micro) if n_micro else S
+    M = S if n_micro is None else int(n_micro)
+    if M < 1:
+        raise ValueError(f"n_micro must be >= 1, got {n_micro}")
     B = x.shape[0]
     if B % M != 0:
         raise ValueError(f"batch {B} does not split into {M} microbatches")
     mb = B // M
 
-    H, W = model.img_resolution
-    ph, pw = model.patch_size
+    H, W = _as_2tuple(model.img_resolution)
+    ph, pw = _as_2tuple(model.patch_size)
     N = (H // ph) * (W // pw)
     D = model.dim
 
-    t = jnp.asarray(t, jnp.float32)
-    if t.ndim == 0:
-        t = jnp.broadcast_to(t[None], (B,))
-    elif t.shape[0] == 1 and B > 1:
-        t = jnp.broadcast_to(t.reshape(1), (B,))
-    tm = t.reshape(M, mb)
+    tm = _broadcast_t(t, B).reshape(M, mb)
     xm = x.reshape(M, mb, *x.shape[1:])
     has_aux = auxiliary is not None
     am = (

@@ -127,6 +127,10 @@ def test_pipelined_forward_validates_split(rng):
     with pytest.raises(ValueError, match="microbatches"):
         pipelined_swinv2_forward(model, variables, x, t, aux, mesh=mesh2,
                                  n_micro=3)
+    for bad in (0, -2):
+        with pytest.raises(ValueError, match="n_micro"):
+            pipelined_swinv2_forward(model, variables, x, t, aux, mesh=mesh2,
+                                     n_micro=bad)
 
 
 def test_pipelined_forward_grads_match(rng):
