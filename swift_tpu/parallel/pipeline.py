@@ -51,6 +51,7 @@ def pipelined_swinv2_forward(
     mesh,
     pipe_axis: str = "pipe",
     n_micro: Optional[int] = None,
+    data_axis: Optional[str] = None,
 ):
     """SwinV2 forward with the block-pair stack pipelined over ``pipe_axis``.
 
@@ -59,6 +60,10 @@ def pipelined_swinv2_forward(
     variables: the model's full variable dict (``{"params": ...}``).
     x: (B, H, W, in_channels); t: () or (B,); auxiliary: (B, aux_dim) or
       None. B must be divisible by ``n_micro`` (default: the pipe size).
+    data_axis: optional second mesh axis for dp x pp composition — each
+      microbatch is additionally sharded over it (B divisible by
+      ``n_micro * mesh.shape[data_axis]``); the pipeline rotates
+      independently per data-parallel row.
 
     Returns the (B, H, W, out_channels) fp32 prediction, numerically equal
     to ``model.apply(variables, x, t, auxiliary)``.
@@ -84,9 +89,13 @@ def pipelined_swinv2_forward(
     M = S if n_micro is None else int(n_micro)
     if M < 1:
         raise ValueError(f"n_micro must be >= 1, got {n_micro}")
+    Dd = mesh.shape[data_axis] if data_axis else 1
     B = x.shape[0]
-    if B % M != 0:
-        raise ValueError(f"batch {B} does not split into {M} microbatches")
+    if B % (M * Dd) != 0:
+        raise ValueError(
+            f"batch {B} does not split into {M} microbatches"
+            + (f" x {Dd} data shards" if Dd > 1 else "")
+        )
     mb = B // M
 
     H, W = _as_2tuple(model.img_resolution)
@@ -112,6 +121,7 @@ def pipelined_swinv2_forward(
     def stage_fn(rest_p, pairs_p, xm, tm, am):
         s = jax.lax.axis_index(pipe_axis)
         perm = [(i, (i + 1) % S) for i in range(S)]
+        mb_l = xm.shape[1]  # per-device microbatch (mb / Dd under dp x pp)
 
         def embed(k):
             idx = jnp.clip(k, 0, M - 1)
@@ -151,18 +161,19 @@ def pipelined_swinv2_forward(
             return (h, cond, out), None
 
         init = (
-            jnp.zeros((mb, N, D), m_full.dtype),
-            jnp.zeros((mb, D), jnp.float32),
-            jnp.zeros((M, mb, H, W, model.out_channels), jnp.float32),
+            jnp.zeros((mb_l, N, D), m_full.dtype),
+            jnp.zeros((mb_l, D), jnp.float32),
+            jnp.zeros((M, mb_l, H, W, model.out_channels), jnp.float32),
         )
         (_, _, out), _ = jax.lax.scan(tick, init, jnp.arange(M + S - 1))
-        return out[None]  # (1, M, mb, H, W, C) -> stacked over stages
+        return out[None]  # (1, M, mb_l, H, W, C) -> stacked over stages
 
+    bspec = P(None, data_axis) if data_axis else P()
     out = shard_map(
         stage_fn,
         mesh=mesh,
-        in_specs=(P(), P(pipe_axis), P(), P(), P()),
-        out_specs=P(pipe_axis),
+        in_specs=(P(), P(pipe_axis), bspec, bspec, bspec),
+        out_specs=P(pipe_axis, None, data_axis) if data_axis else P(pipe_axis),
         check_vma=False,
     )(rest, pair_params, xm, tm, am)
     # only the last stage's buffer holds real outputs
