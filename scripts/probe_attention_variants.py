@@ -12,9 +12,6 @@ Run on the TPU host: python scripts/probe_attention_variants.py
 
 from __future__ import annotations
 
-import glob
-import gzip
-import json
 import shutil
 import sys
 import time
@@ -64,23 +61,9 @@ def _device_time(tag, fn, qkv, scale):
         o = fn(qkv, scale)
     o.block_until_ready()
     jax.profiler.stop_trace()
-    traces = sorted(glob.glob(outdir + "/**/*.trace.json.gz", recursive=True))
-    with gzip.open(traces[-1], "rt") as f:
-        data = json.load(f)
-    pid_names = {
-        e["pid"]: e["args"].get("name", "")
-        for e in data.get("traceEvents", [])
-        if e.get("ph") == "M" and e.get("name") == "process_name"
-    }
-    dev_pids = {p for p, n in pid_names.items() if "TPU" in n}
-    dt = sum(
-        e.get("dur", 0) / 1e6
-        for e in data.get("traceEvents", [])
-        if e.get("ph") == "X"
-        and (not dev_pids or e.get("pid") in dev_pids)
-        and e.get("name", "").startswith("jit_run")
-    ) / (REPS * N)
-    return dt
+    from scripts._trace import device_ms
+
+    return device_ms(outdir, "jit_run", REPS * N) / 1e3
 
 
 def main():

@@ -16,9 +16,6 @@ Usage: python scripts/probe_finetune_step.py [batch] [steps] [hd128|parity]
 
 from __future__ import annotations
 
-import glob
-import gzip
-import json
 import shutil
 import sys
 import time
@@ -118,22 +115,9 @@ def main():
     jax.block_until_ready(l)
     jax.profiler.stop_trace()
 
-    traces = sorted(glob.glob(OUTDIR + "/**/*.trace.json.gz", recursive=True))
-    with gzip.open(traces[-1], "rt") as f:
-        data = json.load(f)
-    pid_names = {
-        e["pid"]: e["args"].get("name", "")
-        for e in data.get("traceEvents", [])
-        if e.get("ph") == "M" and e.get("name") == "process_name"
-    }
-    dev_pids = {p for p, n in pid_names.items() if "TPU" in n}
-    dt = sum(
-        e.get("dur", 0) / 1e6
-        for e in data.get("traceEvents", [])
-        if e.get("ph") == "X"
-        and (not dev_pids or e.get("pid") in dev_pids)
-        and e.get("name", "").startswith("jit_step")
-    ) / N
+    from scripts._trace import device_ms
+
+    dt = device_ms(OUTDIR, "jit_step", N) / 1e3
     fwd_tf = 2.72 * B
     tf = 6 * steps * fwd_tf  # 2 members × steps fwd, bwd ≈ 2× fwd
     print(

@@ -11,9 +11,6 @@ ledger predicted the FFN one is a wash by arithmetic (CLAUDE.md rule 5).
 
 from __future__ import annotations
 
-import glob
-import gzip
-import json
 import shutil
 import sys
 
@@ -30,27 +27,19 @@ def log(m):
 
 
 def _device_ms_per_step(outdir, n_steps):
-    traces = sorted(glob.glob(outdir + "/**/*.trace.json.gz", recursive=True))
-    if not traces:
-        return float("nan")
-    with gzip.open(traces[-1], "rt") as f:
-        data = json.load(f)
-    pid_names = {}
-    for e in data.get("traceEvents", []):
-        if e.get("ph") == "M" and e.get("name") == "process_name":
-            pid_names[e["pid"]] = e["args"].get("name", "")
-    dev_pids = {p for p, n in pid_names.items() if "TPU" in n}
-    total = 0.0
-    for e in data.get("traceEvents", []):
-        if e.get("ph") != "X" or (dev_pids and e.get("pid") not in dev_pids):
-            continue
-        name = e.get("name", "")
-        if name.startswith("jit_jvp_fwd"):
-            total += e.get("dur", 0) / 1e3
-    return total / n_steps
+    from scripts._trace import device_ms
+
+    return device_ms(outdir, "jit_jvp_fwd", n_steps)
 
 
 def main():
+    import os
+
+    # Force the fused jvp routing at the flagship grid (8192 tokens is far
+    # below the 65536 default threshold): without this the model takes the
+    # jnp jvp path in all four combos and the A/B measures nothing.
+    os.environ.setdefault("SWIFT_JVP_FUSED_MIN_TOKENS", "1")
+
     import jax
 
     jax.config.update("jax_compilation_cache_dir", "/root/repo/.cache/jax")

@@ -8,9 +8,6 @@ to drop to the per-head path at 34% MFU. Reports device s/forward from a
 profiler trace (wall clock through the dev tunnel is dispatch-bound).
 """
 
-import glob
-import gzip
-import json
 import shutil
 import sys
 import time
@@ -83,22 +80,9 @@ def main():
     o.block_until_ready()
     jax.profiler.stop_trace()
 
-    traces = sorted(glob.glob(outdir + "/**/*.trace.json.gz", recursive=True))
-    with gzip.open(traces[-1], "rt") as f:
-        data = json.load(f)
-    pid_names = {
-        e["pid"]: e["args"].get("name", "")
-        for e in data.get("traceEvents", [])
-        if e.get("ph") == "M" and e.get("name") == "process_name"
-    }
-    dev_pids = {p for p, n in pid_names.items() if "TPU" in n}
-    dt = sum(
-        e.get("dur", 0) / 1e6
-        for e in data.get("traceEvents", [])
-        if e.get("ph") == "X"
-        and (not dev_pids or e.get("pid") in dev_pids)
-        and e.get("name", "").startswith("jit_fwd")
-    ) / N
+    from scripts._trace import device_ms
+
+    dt = device_ms(outdir, "jit_fwd", N) / 1e3
     # ~8.8x the 1.4-degree per-sample forward flops (2.72 TF)
     tf = 2.72 * (736 * 1440) / (128 * 256) * B
     print(f"0.25deg forward @ B={B}: {dt:.3f} s device = {tf / dt:.0f} TF/s "

@@ -17,10 +17,7 @@ vjp/jvp rules carry the attention work at this grid.
 from __future__ import annotations
 
 import functools
-import glob
 import os
-import gzip
-import json
 import shutil
 import sys
 import time
@@ -176,22 +173,9 @@ def main():
     jax.block_until_ready(l)
     jax.profiler.stop_trace()
 
-    traces = sorted(glob.glob(OUTDIR + "/**/*.trace.json.gz", recursive=True))
-    with gzip.open(traces[-1], "rt") as f:
-        data = json.load(f)
-    pid_names = {
-        e["pid"]: e["args"].get("name", "")
-        for e in data.get("traceEvents", [])
-        if e.get("ph") == "M" and e.get("name") == "process_name"
-    }
-    dev_pids = {p for p, n in pid_names.items() if "TPU" in n}
-    dt = sum(
-        e.get("dur", 0) / 1e6
-        for e in data.get("traceEvents", [])
-        if e.get("ph") == "X"
-        and (not dev_pids or e.get("pid") in dev_pids)
-        and (e.get("name", "").startswith("jit_step") or e.get("name", "").startswith("jit_jvp_stage"))
-    ) / N
+    from scripts._trace import device_ms
+
+    dt = device_ms(OUTDIR, ("jit_step", "jit_jvp_stage"), N) / 1e3
     # FLOP model: fwd 2.72 TF at 1.4deg per sample x area ratio;
     # sCM = 6x fwd (fwd + jvp(2x) + bwd(3x... counted as 6x total like the
     # reference tflops model); trigflow = 3x fwd (fwd + bwd).

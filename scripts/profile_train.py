@@ -6,12 +6,8 @@ Same trace-aggregation approach as profile_forward.py, over the full step
 
 from __future__ import annotations
 
-import glob
-import gzip
-import json
 import sys
 import time
-from collections import defaultdict
 
 sys.path.insert(0, "/root/repo")
 
@@ -107,23 +103,11 @@ def main():
     jax.block_until_ready(l)
     jax.profiler.stop_trace()
 
-    traces = sorted(glob.glob(OUTDIR + "/**/*.trace.json.gz", recursive=True))
-    if not traces:
+    from scripts._trace import device_op_totals
+
+    agg, cnt = device_op_totals(OUTDIR)
+    if not agg:
         return
-    with gzip.open(traces[-1], "rt") as f:
-        data = json.load(f)
-    pid_names = {}
-    for e in data.get("traceEvents", []):
-        if e.get("ph") == "M" and e.get("name") == "process_name":
-            pid_names[e["pid"]] = e["args"].get("name", "")
-    dev_pids = {p for p, n in pid_names.items() if "TPU" in n}
-    agg = defaultdict(float)
-    cnt = defaultdict(int)
-    for e in data.get("traceEvents", []):
-        if e.get("ph") != "X" or (dev_pids and e.get("pid") not in dev_pids):
-            continue
-        agg[e.get("name", "")] += e.get("dur", 0) / 1e3
-        cnt[e.get("name", "")] += 1
     for name, ms in sorted(agg.items(), key=lambda kv: -kv[1])[:40]:
         print(f"{ms / 2:9.2f} ms/step  x{cnt[name] // 2:4d}  {name[:110]}")
 

@@ -65,6 +65,24 @@ def _wsc(x, mesh, *entries):
     return jax.lax.with_sharding_constraint(x, NamedSharding(mesh, PartitionSpec(*spec)))
 
 
+def _jvp_big_grid(x) -> bool:
+    """Route a jvp-flagged forward to the fused pallas kernels?
+
+    Small grids keep the jnp jvp path (MEASURED faster — XLA CSEs gate/up
+    between primal and tangent and fuses the LN-tangent chain;
+    scripts/probe_jvp_variants.py, PERF.md r3 ledger); large grids take the
+    fused kernels because the jnp path's (tokens, 2·hidden) fp32 HBM
+    intermediates are the 0.25° memory cliff. One shared gate so
+    FeedForward and ModulatedNorm can't diverge. Threshold env-overridable
+    for A/B probes."""
+    if x is None:
+        return False
+    tokens = 1
+    for s in x.shape[1:-1]:
+        tokens *= s
+    return tokens >= int(os.environ.get("SWIFT_JVP_FUSED_MIN_TOKENS", "65536"))
+
+
 def _broadcast_t(t, B: int) -> jnp.ndarray:
     """Normalize a timestep input — () / (1,) / (B,) — to fp32 (B,).
     Shared by SwinV2.__call__ and the pipeline executor so the accepted
@@ -147,20 +165,8 @@ class ModulatedNorm(nn.Module):
         use_pallas = self.use_pallas
         if use_pallas is None:
             use_pallas = jax.default_backend() == "tpu"
-        # jvp routing mirrors FeedForward: small grids keep the jnp jvp path
-        # (MEASURED faster — XLA fuses the LN tangent chain into neighbours;
-        # scripts/probe_jvp_variants.py), large grids take the fused jvp
-        # kernel to avoid the fp32 HBM intermediates (0.25° memory cliff).
-        tokens = 1
-        if x is not None:
-            for s in x.shape[1:-1]:
-                tokens *= s
-        # threshold env-overridable so scripts/probe_jvp_variants.py can
-        # force the fused path at flagship grids for A/B measurement
-        big_grid = tokens >= int(
-            os.environ.get("SWIFT_JVP_FUSED_MIN_TOKENS", "65536")
-        )
-        if use_pallas and residual is not None and (not jvp or big_grid):
+        # jvp routing shared with FeedForward — see _jvp_big_grid.
+        if use_pallas and residual is not None and (not jvp or _jvp_big_grid(x)):
             try:
                 return sharded_modnorm_residual(
                     x, residual, g, b, scale, shift, self.eps,
@@ -219,22 +225,9 @@ class FeedForward(nn.Module):
             use_pallas=self.use_pallas, mesh=self.mesh,
             data_axis=self.data_axis,
         )
-        # jvp routing: at flagship-scale grids the jnp path wins on SPEED
-        # (the fused tangent kernel's gate/up recompute loses to XLA's
-        # primal/tangent CSE — scripts/probe_jvp_variants.py, PERF.md r3),
-        # but its (tokens, 2·hidden) jvp intermediates are a MEMORY cliff:
-        # at the 0.25° grid they alone OOM a 16 GB chip. Large grids
-        # therefore take the fused jvp kernels (VMEM-resident, no HBM
-        # intermediates); small grids keep the faster jnp jvp path.
-        tokens = 1
-        for s in x.shape[1:-1]:
-            tokens *= s
-        # threshold env-overridable so scripts/probe_jvp_variants.py can
-        # force the fused path at flagship grids for A/B measurement
-        big_grid = tokens >= int(
-            os.environ.get("SWIFT_JVP_FUSED_MIN_TOKENS", "65536")
-        )
-        fused = use_pallas and self.mesh is None and (not jvp or big_grid)
+        # jvp routing shared with ModulatedNorm — see _jvp_big_grid (speed
+        # vs the 0.25° memory cliff).
+        fused = use_pallas and self.mesh is None and (not jvp or _jvp_big_grid(x))
         if fused:
             # FFN matmul chain fused; the norm+residual epilogue stays a
             # separate pallas pass — folding it INTO this kernel measured
@@ -643,12 +636,22 @@ class SwinV2(nn.Module):
 
         Each stage touches only its own parameters, so it can be applied
         with a params subtree (flax ignores unvisited entries).
+
+        Non-divisible latitude: when H doesn't divide by patch·window (the
+        0.25° WB2 grid is 721 rows), the input is edge-padded toward the
+        pole up to the next multiple (721 -> 736 for patch 2 × window 16)
+        and the output cropped back — callers (losses, samplers, trainer)
+        see the raw grid end to end. Same padded geometry as
+        ``parallel.sharding.pad_lat_to_grid``, so checkpoints interchange
+        with models built at the padded resolution.
         """
         assert stage in (None, "embed", "pairs", "head")
         H, W = _as_2tuple(self.img_resolution)
         ph, pw = _as_2tuple(self.patch_size)
         wh, ww = _as_2tuple(self.window_size)
-        gh, gw = H // ph, W // pw
+        lat_pad = (-H) % (ph * wh)
+        Hp = H + lat_pad
+        gh, gw = Hp // ph, W // pw
         B = x.shape[0]
         if stage in ("pairs", "head"):
             # (x, t) are (hidden states, conditioning vector) here.
@@ -659,8 +662,11 @@ class SwinV2(nn.Module):
             assert x.shape[1] == H and x.shape[2] == W, (
                 f"expected NHWC input {(H, W)}, got {x.shape}"
             )
+            if lat_pad:
+                x = jnp.pad(x, ((0, 0), (0, lat_pad), (0, 0), (0, 0)),
+                            mode="edge")
 
-            # --- patch embedding: (B, H, W, C) -> (B, gh*gw, ph*pw*C) -> dim.
+            # --- patch embedding: (B, Hp, W, C) -> (B, gh*gw, ph*pw*C) -> dim.
             # Feature ordering (p1, p2, c) matches the reference rearrange
             # (swinv2.py:224-229) so checkpoints map 1:1.
             xp = x.reshape(B, gh, ph, gw, pw, x.shape[-1])
@@ -767,7 +773,9 @@ class SwinV2(nn.Module):
             name="head",
         )(h)
         o = o.reshape(B, gh, gw, self.out_channels, ph, pw)
-        o = o.transpose(0, 1, 4, 2, 5, 3).reshape(B, H, W, self.out_channels)
+        o = o.transpose(0, 1, 4, 2, 5, 3).reshape(B, Hp, W, self.out_channels)
+        if lat_pad:
+            o = o[:, :H]
         o = o.astype(jnp.float32)
 
         if self.logvar:

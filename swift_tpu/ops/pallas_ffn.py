@@ -193,62 +193,18 @@ _fused_swiglu.defvjp(_fused_swiglu_fwd, _fused_swiglu_bwd)
 
 
 # ---------------------------------------------------------------------------
-# Forward-mode (sCM jvp) tangent kernel.
+# Forward-mode (sCM jvp) combined primal+tangent kernel.
 #
 # Under jax.jvp the jnp fallback materializes FOUR (tokens, H) intermediates
-# in HBM (g, u, dg, du) on top of the primal's gate_up — ~200 ms of the
-# 2.6 s training step at batch 16 (PERF.md r2 "next levers" #2). This kernel
-# recomputes g/u in VMEM (the gate/up recompute ≈ one extra matmul pair,
-# cheaper than their HBM round-trip at these shapes) and emits the tangent
+# in HBM (g, u, dg, du) on top of the primal's gate_up — the 0.25° memory
+# cliff (PERF.md). The jvp rule below emits (y, dy) from ONE kernel with
+# gate/up computed once and shared in VMEM:
 #
 #     dy = (silu'(g)·(dx@Wg)·u + silu(g)·(dx@Wu)) @ W2
 #
-# NOTE the COMBINED primal+tangent single kernel was measured a wash
-# (PERF.md ledger / CLAUDE.md rule 5): primal and tangent stay separate
-# pallas passes so each overlaps neighbouring work.
-
-
-def _ffn_tangent_kernel(x_ref, dx_ref, wg_ref, wu_ref, w2_ref, do_ref):
-    x = x_ref[...]
-    dx = dx_ref[...]
-    g = jnp.dot(x, wg_ref[...], preferred_element_type=jnp.float32)
-    u = jnp.dot(x, wu_ref[...], preferred_element_type=jnp.float32)
-    dg = jnp.dot(dx, wg_ref[...], preferred_element_type=jnp.float32)
-    du = jnp.dot(dx, wu_ref[...], preferred_element_type=jnp.float32)
-    sig = jax.nn.sigmoid(g)
-    # d silu(g) = sigmoid(g) * (1 + g * (1 - sigmoid(g)))
-    dh = (sig * (1 + g * (1 - sig))) * dg * u + (g * sig) * du
-    do_ref[...] = jnp.dot(
-        dh.astype(x.dtype), w2_ref[...], preferred_element_type=jnp.float32
-    ).astype(do_ref.dtype)
-
-
-def _ffn_tangent_call(x2, dx2, wg, wu, w2):
-    T, D = x2.shape
-    H = wg.shape[1]
-    bt = _pick_block(T)
-    return pl.pallas_call(
-        _ffn_tangent_kernel,
-        grid=(T // bt,),
-        compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=100 * 1024 * 1024,
-        ),
-        in_specs=[
-            pl.BlockSpec((bt, D), lambda i: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((bt, D), lambda i: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((D, H), lambda i: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((D, H), lambda i: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((H, D), lambda i: (0, 0), memory_space=pltpu.VMEM),
-        ],
-        out_specs=pl.BlockSpec((bt, D), lambda i: (i, 0),
-                               memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((T, D), x2.dtype),
-        cost_estimate=pl.CostEstimate(
-            flops=2 * T * D * H * 5,
-            bytes_accessed=(3 * T * D + 3 * D * H) * x2.dtype.itemsize,
-            transcendentals=T * H,
-        ),
-    )(x2, dx2, wg, wu, w2)
+# Routing (see FeedForward): large grids take this kernel for memory; the
+# flagship 1.4° grid keeps the jnp jvp path, which measured faster there
+# (XLA CSEs gate/up between primal and tangent — PERF.md r3 ledger).
 
 
 def _ffn_pt_kernel(x_ref, dx_ref, wg_ref, wu_ref, w2_ref, o_ref, do_ref):

@@ -100,7 +100,9 @@ def pipelined_swinv2_forward(
 
     H, W = _as_2tuple(model.img_resolution)
     ph, pw = _as_2tuple(model.patch_size)
-    N = (H // ph) * (W // pw)
+    wh, _ = _as_2tuple(model.window_size)
+    Hp = H + ((-H) % (ph * wh))  # model pads non-divisible latitude
+    N = (Hp // ph) * (W // pw)
     D = model.dim
 
     tm = _broadcast_t(t, B).reshape(M, mb)

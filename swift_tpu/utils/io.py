@@ -153,8 +153,11 @@ def create_forecast_zarr(
         # record the variable's own pressure levels so eval can name them
         # even when variables carry different level subsets.
         attrs = {"levels": list(levels)} if has_levels else None
+        # single-writer context (process 0 behind a barrier, generate.py):
+        # clear any stale chunks from a previous same-layout run so a rerun
+        # can't silently serve old forecasts.
         g.create_array(var, shape, chunks, "<f4", fill_value=0.0, dims=dims,
-                       attrs=attrs)
+                       attrs=attrs, overwrite_chunks=True)
     return g
 
 

@@ -26,6 +26,13 @@ import numpy as np
 Selection = Union[int, slice, tuple]
 
 
+def _atomic_write(path: Path, text: str) -> None:
+    """Write-then-rename so concurrent readers never see a truncated file."""
+    tmp = path.with_name(path.name + f".tmp.{os.getpid()}")
+    tmp.write_text(text)
+    os.replace(tmp, path)
+
+
 def _dtype_str(dtype: np.dtype) -> str:
     dtype = np.dtype(dtype)
     if dtype.kind in "Mm":
@@ -219,7 +226,14 @@ class ZarrGroup:
         compressor: Optional[str] = "zlib",
         clevel: int = 1,
         data: Optional[np.ndarray] = None,
+        overwrite_chunks: bool = False,
     ) -> ZarrArray:
+        """``overwrite_chunks=True`` clears existing chunk files even when
+        the array layout is unchanged — pass it from a single-writer
+        context (e.g. the process-0 + barrier store creation in
+        generate.py) so a re-run into an existing store can't silently
+        serve a previous run's data. The default keeps same-layout
+        re-creation a no-op, which concurrent creators rely on."""
         adir = self.path / name
         dt = np.dtype(dtype)
         meta = {
@@ -234,28 +248,35 @@ class ZarrGroup:
             "order": "C",
             "filters": None,
         }
+        unchanged = False
         if adir.exists():
             # Idempotent re-creation: in a distributed generate run every
             # process calls create on the shared store. Only wipe when the
             # layout actually changed (stale chunk files from a previous
-            # shape/chunking would silently bloat the store); a matching
+            # shape/chunking would silently bloat the store) or the caller
+            # is a single writer asking for a clean slate; a matching
             # concurrent create must be a no-op, not an rmtree that races
             # another process's just-written chunks.
             try:
                 unchanged = json.loads((adir / ".zarray").read_text()) == meta
             except (OSError, ValueError):
                 unchanged = False
-            if not unchanged:
+            if not unchanged or overwrite_chunks:
                 import shutil
 
                 shutil.rmtree(adir, ignore_errors=True)
+                unchanged = False
         adir.mkdir(parents=True, exist_ok=True)
-        (adir / ".zarray").write_text(json.dumps(meta, indent=4))
         a = dict(attrs or {})
         if dims is not None:
             a["_ARRAY_DIMENSIONS"] = list(dims)
-        if a:
-            (adir / ".zattrs").write_text(json.dumps(a, indent=4))
+        if not unchanged:
+            # atomic metadata writes: a concurrent same-layout creator may
+            # be reading .zarray while we write — rename is atomic, a
+            # truncated read is not.
+            _atomic_write(adir / ".zarray", json.dumps(meta, indent=4))
+            if a:
+                _atomic_write(adir / ".zattrs", json.dumps(a, indent=4))
         arr = ZarrArray(adir)
         if data is not None:
             arr[tuple(slice(None) for _ in shape)] = data

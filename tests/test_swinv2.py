@@ -191,3 +191,49 @@ def test_factorized_pos_embed():
     g = jax.grad(loss)(pf)
     assert float(jnp.abs(g["pos_embed_row"]).sum()) > 0
     assert float(jnp.abs(g["pos_embed_col"]).sum()) > 0
+
+
+def test_non_divisible_latitude_pads_internally():
+    """0.25° WB2 latitude (721 rows) doesn't divide patch·window; the model
+    edge-pads internally and crops the output, so losses/samplers/trainer
+    see the raw grid end to end. Scaled here: 10 rows, patch 2 × window 2
+    -> padded grid 12. Parameters interchange with a model built at the
+    padded resolution (same pos-embed table)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from swift_tpu.models.swinv2 import SwinV2
+
+    kw = dict(
+        in_channels=4, out_channels=3, window_size=(2, 2), shift_size=(1, 1),
+        patch_size=(2, 2), depth=2, dim=24, heads=3, auxiliary_dim=1,
+        dtype=jnp.float32, use_pallas=False, remat_layers=False,
+    )
+    raw = SwinV2(img_resolution=(10, 16), **kw)
+    padded = SwinV2(img_resolution=(12, 16), **kw)
+
+    rng = np.random.default_rng(3)
+    x = jnp.asarray(rng.normal(size=(2, 10, 16, 4)).astype(np.float32))
+    t = jnp.asarray([0.4, 1.1], jnp.float32)
+    aux = jnp.asarray(rng.normal(size=(2, 1)).astype(np.float32))
+    v = raw.init(jax.random.PRNGKey(0), x, t, aux)
+
+    y = raw.apply(v, x, t, aux)
+    assert y.shape == (2, 10, 16, 3)
+
+    # identical params applied at the padded resolution on the padded input
+    xp = jnp.pad(x, ((0, 0), (0, 2), (0, 0), (0, 0)), mode="edge")
+    yp = padded.apply(v, xp, t, aux)
+    np.testing.assert_allclose(np.asarray(y), np.asarray(yp[:, :10]),
+                               rtol=0, atol=0)
+
+    # reverse- and forward-mode AD flow through the pad/crop (training +
+    # the sCM jvp forward)
+    g = jax.grad(lambda vv: jnp.sum(raw.apply(vv, x, t, aux) ** 2))(v)
+    assert all(
+        bool(jnp.isfinite(l).all()) for l in jax.tree_util.tree_leaves(g)
+    )
+    dx = jnp.ones_like(x)
+    _, dy = jax.jvp(lambda xi: raw.apply(v, xi, t, aux, jvp=True), (x,), (dx,))
+    assert dy.shape == (2, 10, 16, 3) and bool(jnp.isfinite(dy).all())
