@@ -401,3 +401,41 @@ def test_grad_accum_multi_device_dp():
     assert np.isfinite(float(m["loss"]))
     leaf = jax.tree_util.tree_leaves(new_state.params)[0]
     assert leaf.sharding.is_fully_replicated
+
+
+def test_train_step_non_divisible_latitude(tmp_path):
+    """A real Trainer step on a grid whose latitude doesn't divide
+    patch x window (the 0.25° WB2 case scaled down: 10 rows, patch 2 x
+    window 2 -> the model pads to 12 internally). Regression for the
+    0.25-deg config of record, whose train path previously crashed at
+    trace time on the 721-row grid."""
+    Hn = 10
+    model = SwinV2(
+        img_resolution=(Hn, W), in_channels=2 * C, out_channels=C,
+        window_size=(2, 2), shift_size=(1, 1), patch_size=(2, 2),
+        depth=2, dim=32, heads=4, auxiliary_dim=1, logvar=True,
+        dtype=jnp.float32,
+    )
+    p = PassPrecond(
+        model=model, img_resolution=(Hn, W), img_channels=C,
+        condition_channels=C, auxiliary_dim=1, sigma_data=1.0,
+    )
+    loss_fn = TrigFlowLoss(
+        precond=p, lat_dim=Hn, variables=VARS,
+        noise={"dist": "loguniform", "sigma_min": 0.02, "sigma_max": 200.0},
+    )
+    tr = Trainer(
+        p, optax.adamw(1e-3), loss_fn, global_batch_size=2, total_kimg=1,
+        kimg_per_tick=1, checkpoint_ticks=None, val_ticks=None,
+        run_dir=str(tmp_path), seed=0,
+    )
+    k = jax.random.PRNGKey(0)
+    batch = {
+        "x": jax.random.normal(k, (2, Hn, W, C)),
+        "t": jax.random.normal(jax.random.fold_in(k, 1), (2, Hn, W, C)),
+        "idx": jnp.arange(2, dtype=jnp.int32),
+        "delta": jnp.full((2, 1), 0.6),
+    }
+    step = tr._get_step(1, None)
+    state, m = step(tr.state, batch, jax.random.PRNGKey(7))
+    assert np.isfinite(float(m["loss"]))
