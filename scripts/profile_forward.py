@@ -7,12 +7,8 @@ the measurement tool behind PERF.md's "where the time goes" section.
 
 from __future__ import annotations
 
-import glob
-import gzip
-import json
 import sys
 import time
-from collections import defaultdict
 
 sys.path.insert(0, "/root/repo")
 
@@ -80,35 +76,12 @@ def main():
     o.block_until_ready()
     jax.profiler.stop_trace()
 
-    traces = sorted(glob.glob(OUTDIR + "/**/*.trace.json.gz", recursive=True))
-    log(f"trace files: {traces}")
-    if not traces:
+    from scripts._trace import device_op_totals
+
+    agg, cnt = device_op_totals(OUTDIR)
+    if not agg:
         return
-    with gzip.open(traces[-1], "rt") as f:
-        data = json.load(f)
-
-    # aggregate complete events on device tracks
-    events = [e for e in data.get("traceEvents", []) if e.get("ph") == "X"]
-    # find pids whose process name mentions TPU/device
-    pid_names = {}
-    for e in data.get("traceEvents", []):
-        if e.get("ph") == "M" and e.get("name") == "process_name":
-            pid_names[e["pid"]] = e["args"].get("name", "")
-    dev_pids = {p for p, n in pid_names.items() if "TPU" in n or "/device" in n.lower()}
-    log(f"processes: {pid_names}")
-
-    agg = defaultdict(float)
-    cnt = defaultdict(int)
-    total = 0.0
-    for e in events:
-        if dev_pids and e.get("pid") not in dev_pids:
-            continue
-        name = e.get("name", "")
-        dur = e.get("dur", 0) / 1e3  # us -> ms
-        agg[name] += dur
-        cnt[name] += 1
-        total += dur
-    log(f"\ntotal device-track time over 3 steps: {total:.1f} ms")
+    log(f"\ntotal device-track time over 3 steps: {sum(agg.values()):.1f} ms")
     rows = sorted(agg.items(), key=lambda kv: -kv[1])[:45]
     for name, ms in rows:
         print(f"{ms / 3:9.2f} ms/step  x{cnt[name] // 3:4d}  {name[:110]}")
