@@ -2,11 +2,13 @@
 
 Usage: python scripts/probe_quarter_train.py [scm|trigflow]
 
-sCM (jvp + fwd + bwd) needs ~17 GB at B=1 (the learned 0.25° pos_embed
-alone is 1.1 GB of params + as much momentum; measured ledger in PERF.md)
-— it runs on >=32 GB chips via the staged SCMLoss API or multi-chip via
-the latitude-sharded path. TrigFlow (the pretraining objective, no jvp)
-fits ONE 16 GB v5e and is the default measurement here.
+sCM (jvp + fwd + bwd) measured ~20 GB at B=1 with the LEARNED pos embed
+(1.1 GB of params + as much momentum; ledger in PERF.md) — multi-chip via
+the latitude-sharded path was the answer then. The current defaults
+(factorized pos embed + bf16 Muon momentum, the 0.25° config of record)
+shed ~3 GB of args; whether the staged sCM step now fits a 16 GB v5e is
+exactly what `probe_quarter_train.py scm` measures. TrigFlow (the
+pretraining objective, no jvp) fits ONE 16 GB v5e.
 
 736×1440 padded grid, batch 1, scan-over-layers remat on, full sCM loss
 (primal + jvp forward + backward) + Muon update. Reports device s/step from

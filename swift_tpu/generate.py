@@ -253,5 +253,10 @@ def main(args):
     return ofile
 
 
+def cli(argv=None):
+    """Console-script entry (``swift-generate``)."""
+    main(parser.parse_args(argv))
+
+
 if __name__ == "__main__":
     main(parser.parse_args())
