@@ -41,6 +41,11 @@ def install_reference_stubs() -> None:
 
         om.ListConfig = ListConfig
         om.DictConfig = DictConfig
+
+        class OmegaConf:  # only load/to_yaml are referenced, in main() paths
+            pass
+
+        om.OmegaConf = OmegaConf
         sys.modules["omegaconf"] = om
 
     if "ezpz" not in sys.modules:
@@ -60,6 +65,53 @@ def install_reference_stubs() -> None:
         hydra.utils = utils
         sys.modules["hydra"] = hydra
         sys.modules["hydra.utils"] = utils
+
+    # swift.utils.io / swift.training.validate pull in mpi4py, dask, xarray,
+    # zarr and torchinfo at import time; none of them touch the math under
+    # test (io only uses them in store helpers, validate only in main()).
+    if "mpi4py" not in sys.modules:
+        mpi4py = types.ModuleType("mpi4py")
+        mpi = types.ModuleType("mpi4py.MPI")
+
+        class _Comm:
+            def Barrier(self):
+                pass
+
+            def Get_rank(self):
+                return 0
+
+            def Get_size(self):
+                return 1
+
+        mpi.COMM_WORLD = _Comm()
+        mpi4py.MPI = mpi
+        sys.modules["mpi4py"] = mpi4py
+        sys.modules["mpi4py.MPI"] = mpi
+
+    for name in ("xarray", "zarr"):
+        if name not in sys.modules:
+            try:
+                importlib.import_module(name)
+            except ImportError:
+                sys.modules[name] = types.ModuleType(name)
+
+    if "dask" not in sys.modules:
+        try:
+            importlib.import_module("dask.array")
+        except ImportError:
+            dask = types.ModuleType("dask")
+            dask_array = types.ModuleType("dask.array")
+            dask.array = dask_array
+            sys.modules["dask"] = dask
+            sys.modules["dask.array"] = dask_array
+
+    if "torchinfo" not in sys.modules:
+        try:
+            importlib.import_module("torchinfo")
+        except ImportError:
+            ti = types.ModuleType("torchinfo")
+            ti.summary = lambda *a, **k: None
+            sys.modules["torchinfo"] = ti
 
 
 def import_reference():
