@@ -7,16 +7,19 @@ variables + 3 forcings). Times the compiled ensemble rollout — sampler +
 forcing concat + residual update — i.e. the per-chip device work of
 ``swift_tpu.generate``; prints ONE json line.
 
-Model geometry: the default is swift_tpu's flagship config of record for
-new training runs, ``era5-swinv2-1.4-scm-hd128.yaml`` — identical depth 12
-/ dim 1056 / window 16 / patch 2 and identical per-sample model FLOPs
-(~2.72e12: qkv+attn+wo = 7.95e10/layer vs the reference geometry's
-8.19e10), but with MXU-native heads (8×128 instead of 12×88, which the
-128-lane systolic array must zero-pad to 12×128 — a +45% qkv/attention
-pad tax that exists on *any* 128-wide matrix hardware). Set
-``SWIFT_BENCH_GEOMETRY=parity`` to run the reference's exact 12×88 head
-geometry instead (the checkpoint-interchange config; r3 measured: hd128
-437.8 ms vs parity 517 ms forward at B=24).
+Model geometry: ONE run measures BOTH geometries so rounds stay comparable
+(r3 ADVICE): the headline ``value``/``vs_baseline`` is the REFERENCE-PARITY
+geometry (12×88 heads — the checkpoint-interchange config, apples-to-apples
+with the reference GPU baseline and with BENCH_r1/r2), and the JSON also
+carries ``hd128_steps_per_sec_per_chip`` for swift_tpu's config of record
+for new training runs (``era5-swinv2-1.4-scm-hd128.yaml``: identical
+depth 12 / dim 1056 / window 16 / patch 2 and identical per-sample model
+FLOPs ~2.72e12, but MXU-native 8×128 heads instead of 12×88, which the
+128-lane systolic array must zero-pad to 12×128 — a +45% qkv/attention pad
+tax that exists on *any* 128-wide matrix hardware; r3 measured: hd128
+437.8 ms vs parity 517 ms forward at B=24). ``SWIFT_BENCH_GEOMETRY``
+(``both``/``parity``/``hd128``) restricts the run when time is short; the
+headline stays the parity number whenever it is measured.
 
 Measurement protocol: inputs are generated on device and only a scalar is
 fetched per launch, so the number isolates sustained device throughput (the
@@ -42,7 +45,7 @@ import time
 
 import numpy as np
 
-GEOMETRY = os.environ.get("SWIFT_BENCH_GEOMETRY", "hd128")
+GEOMETRY = os.environ.get("SWIFT_BENCH_GEOMETRY", "both")
 MEMBERS = 12
 ICS = 64  # config of record; rate measured over MEASURE_ICS (identical rate)
 MEASURE_ICS = 8
@@ -55,13 +58,9 @@ def log(msg):
     print(msg, file=sys.stderr, flush=True)
 
 
-def main():
+def bench_geometry(geometry: str) -> float:
+    """Build the flagship at ``geometry`` and measure forecast steps/s/chip."""
     import jax
-
-    # persistent compile cache: the dev tunnel's remote compile is slow
-    # (minutes); cache so repeat runs (and the driver's run) start hot.
-    jax.config.update("jax_compilation_cache_dir", "/root/repo/.cache/jax")
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     import jax.numpy as jnp
 
     from __graft_entry__ import FLAGSHIP, _build
@@ -72,10 +71,9 @@ def main():
     mb = MEMBERS * IC_CHUNK
 
     cfg = dict(FLAGSHIP)
-    if GEOMETRY == "hd128":
+    if geometry == "hd128":
         cfg.update(heads=8, head_dim=128)
     precond = _build(cfg)
-    log(f"devices: {jax.devices()}")
 
     # params: instant numpy build (values irrelevant for throughput),
     # shipped once as bf16 to halve the transfer.
@@ -91,7 +89,7 @@ def main():
         shapes,
     )
     jax.block_until_ready(params)
-    log(f"param build+transfer: {time.perf_counter() - t0:.1f}s")
+    log(f"[{geometry}] param build+transfer: {time.perf_counter() - t0:.1f}s")
 
     sampler = param_sampler_factory(
         "scm", precond, num_steps=1, sigma_min=0.02, sigma_max=200.0,
@@ -119,7 +117,8 @@ def main():
     t0 = time.perf_counter()
     X = step(params, X, jax.random.PRNGKey(0))
     s = float(X.sum())
-    log(f"compile+warmup: {time.perf_counter() - t0:.1f}s (sum={s:.3e})")
+    log(f"[{geometry}] compile+warmup: {time.perf_counter() - t0:.1f}s "
+        f"(sum={s:.3e})")
 
     n_launches = MEASURE_ICS // IC_CHUNK
     t0 = time.perf_counter()
@@ -134,23 +133,43 @@ def main():
     measured_steps = MEMBERS * MEASURE_ICS * STEPS
     value = measured_steps / wall / n_devices
     log(
-        f"{measured_steps} forecast steps in {wall:.1f}s on {n_devices} chip(s); "
-        f"model MFU ~ {measured_steps * 2.72e12 / wall / n_devices / 197e12 * 100:.1f}%"
+        f"[{geometry}] {measured_steps} forecast steps in {wall:.1f}s on "
+        f"{n_devices} chip(s); model MFU ~ "
+        f"{measured_steps * 2.72e12 / wall / n_devices / 197e12 * 100:.1f}%"
     )
+    return value
 
-    print(
-        json.dumps(
-            {
-                "metric": "forecast_steps_per_sec_per_chip",
-                "value": round(value, 2),
-                "unit": (
-                    "6h-steps/s/chip (12-member ensemble, flagship SwinV2 "
-                    f"[{GEOMETRY} heads, ~2.72 TFLOP/sample], 1-step sCM)"
-                ),
-                "vs_baseline": round(value / BASELINE_STEPS_PER_SEC_PER_GPU, 2),
-            }
-        )
-    )
+
+def main():
+    import jax
+
+    # persistent compile cache: the dev tunnel's remote compile is slow
+    # (minutes); cache so repeat runs (and the driver's run) start hot.
+    jax.config.update("jax_compilation_cache_dir", "/root/repo/.cache/jax")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    log(f"devices: {jax.devices()}")
+
+    geometries = ["parity", "hd128"] if GEOMETRY == "both" else [GEOMETRY]
+    results = {}
+    for g in geometries:
+        results[g] = bench_geometry(g)
+        jax.clear_caches()  # drop the previous geometry's live buffers
+
+    # headline = the reference-parity geometry whenever it was measured
+    # (apples-to-apples with the reference baseline and prior rounds).
+    head = "parity" if "parity" in results else "hd128"
+    out = {
+        "metric": "forecast_steps_per_sec_per_chip",
+        "value": round(results[head], 2),
+        "unit": (
+            "6h-steps/s/chip (12-member ensemble, flagship SwinV2 "
+            f"[{head} heads, ~2.72 TFLOP/sample], 1-step sCM)"
+        ),
+        "vs_baseline": round(results[head] / BASELINE_STEPS_PER_SEC_PER_GPU, 2),
+    }
+    if "hd128" in results and head != "hd128":
+        out["hd128_steps_per_sec_per_chip"] = round(results["hd128"], 2)
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":
