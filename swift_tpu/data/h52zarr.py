@@ -71,8 +71,11 @@ def build_truth_zarr(
             chunks = (time_chunk, n_lat, n_lon)
             dims = ["time", "latitude", "longitude"]
         attrs = {"levels": list(levels)} if levels else None
+        # single-writer offline tool: clear stale chunks from a previous
+        # same-layout run so a crashed rerun can't mix old and new data.
         arrays[var] = g.create_array(var, shape, chunks, "<f4",
-                                     fill_value=0.0, dims=dims, attrs=attrs)
+                                     fill_value=0.0, dims=dims, attrs=attrs,
+                                     overwrite_chunks=True)
 
     def load(i):
         return dataset._load_file(dataset.files[int(i)], dataset.variables)

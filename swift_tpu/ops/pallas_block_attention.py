@@ -51,6 +51,8 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from swift_tpu.ops import jvp_guard
+
 _EPS = 1e-12
 
 
@@ -443,10 +445,12 @@ def _fba_jvp_capable(qkv, scale, heads, window_size, shift):
     return _fwd_call(qkv, scale, heads, window_size, shift)
 
 
-@_fba_jvp_capable.defjvp
+@functools.partial(_fba_jvp_capable.defjvp, symbolic_zeros=True)
 def _fba_jvp_rule(heads, window_size, shift, primals, tangents):
     qkv, scale = primals
-    dqkv, _ = tangents
+    dqkv, dscale = tangents
+    jvp_guard.require_zero_tangents("fused_block_attention", scale=dscale)
+    dqkv = jvp_guard.materialize(dqkv)
     o = _fba_padded(qkv, scale, heads, window_size, shift)
     do = _tangent_call(
         jax.lax.stop_gradient(qkv),
@@ -897,10 +901,13 @@ def _tba_jvp_capable(qkv, scale, heads, window_size, th):
     return _tiled_fwd_call(qkv, scale, heads, window_size, th)
 
 
-@_tba_jvp_capable.defjvp
+@functools.partial(_tba_jvp_capable.defjvp, symbolic_zeros=True)
 def _tba_jvp_rule(heads, window_size, th, primals, tangents):
     qkv, scale = primals
-    dqkv, _ = tangents
+    dqkv, dscale = tangents
+    jvp_guard.require_zero_tangents("fused_tiled_block_attention",
+                                    scale=dscale)
+    dqkv = jvp_guard.materialize(dqkv)
     o = _tba_padded(qkv, scale, heads, window_size, th)
     do = _tiled_tangent_call(
         jax.lax.stop_gradient(qkv),

@@ -32,6 +32,8 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from swift_tpu.ops import jvp_guard
+
 
 def _ffn_kernel(x_ref, wg_ref, wu_ref, w2_ref, o_ref):
     x = x_ref[...]
@@ -272,10 +274,13 @@ def _fused_swiglu_jvp_capable(x2, wg, wu, w2):
     return _ffn_call(x2, wg, wu, w2)
 
 
-@_fused_swiglu_jvp_capable.defjvp
+@functools.partial(_fused_swiglu_jvp_capable.defjvp, symbolic_zeros=True)
 def _fused_swiglu_jvp_rule(primals, tangents):
     x2, wg, wu, w2 = primals
-    dx2 = tangents[0]
+    dx2, dwg, dwu, dw2 = tangents
+    jvp_guard.require_zero_tangents("fused_swiglu_ffn", wg=dwg, wu=dwu,
+                                    w2=dw2)
+    dx2 = jvp_guard.materialize(dx2)
     # one combined kernel for (y, dy): gate/up shared in VMEM. The sCM loss
     # stop_gradients both jvp-forward outputs (loss.py), so the primal
     # needs no vjp rule here.

@@ -26,6 +26,8 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from swift_tpu.ops import jvp_guard
+
 
 def _kernel(y_ref, r_ref, g_ref, b_ref, ms_ref, mb_ref, o_ref, *, eps):
     y = y_ref[...].astype(jnp.float32)  # (bt, D)
@@ -233,10 +235,15 @@ def _mn_jvp_capable(y2, r2, g, b, msc, msh, eps, tokens_per_sample):
     return _call(y2, r2, g, b, msc, msh, eps, tokens_per_sample)
 
 
-@_mn_jvp_capable.defjvp
+@functools.partial(_mn_jvp_capable.defjvp, symbolic_zeros=True)
 def _mn_jvp_rule(eps, tps, primals, tangents):
     y2, r2, g, b, msc, msh = primals
-    dy2, dr2, _, _, dmsc, dmsh = tangents
+    dy2, dr2, dg, db, dmsc, dmsh = tangents
+    jvp_guard.require_zero_tangents("fused_modnorm_residual", g=dg, b=db)
+    dy2 = jvp_guard.materialize(dy2)
+    dr2 = jvp_guard.materialize(dr2)
+    dmsc = jvp_guard.materialize(dmsc)
+    dmsh = jvp_guard.materialize(dmsh)
     out = _fused(y2, r2, g, b, msc, msh, eps, tps)  # vjp-capable primal
     sg = jax.lax.stop_gradient
     dout = _tangent_call(

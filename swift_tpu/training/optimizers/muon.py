@@ -75,6 +75,26 @@ def _orthogonalized_update(g: jnp.ndarray, ns_steps: int) -> jnp.ndarray:
 
 class MuonState(NamedTuple):
     momentum: Any
+    # Stochastic-rounding step counter: a jnp int32 scalar when the momentum
+    # is stored in bfloat16, the empty tuple otherwise. An empty tuple
+    # contributes NO pytree leaves, so fp32-momentum checkpoints keep their
+    # exact leaf layout (utils/checkpoint.py flattens by path).
+    count: Any = ()
+
+
+def _stochastic_round_bf16(x32: jnp.ndarray, key: jax.Array) -> jnp.ndarray:
+    """fp32 -> bf16 with stochastic rounding: add uniform noise to the 16
+    discarded mantissa bits, then truncate. Unbiased: E[round(x)] == x, so a
+    persistent update smaller than half a bf16 ULP (~2^-9 relative) still
+    moves the buffer in expectation instead of freezing (r3 ADVICE:
+    deterministic round-to-nearest stalls the EMA once
+    |(1-momentum)*(g-m)| < ~2^-9*|m|)."""
+    bits = jax.lax.bitcast_convert_type(x32.astype(jnp.float32), jnp.uint32)
+    noise = jax.random.bits(key, x32.shape, jnp.uint32) & jnp.uint32(0xFFFF)
+    rounded = (bits + noise) & jnp.uint32(0xFFFF0000)
+    return jax.lax.bitcast_convert_type(rounded, jnp.float32).astype(
+        jnp.bfloat16
+    )
 
 
 def _sharded_orthogonalize(u: jnp.ndarray, ns_steps: int, mesh, axis):
@@ -190,18 +210,27 @@ def scale_by_muon(
     momentum (see _tp_sharded_orthogonalize).
 
     ``momentum_dtype`` (e.g. jnp.bfloat16) stores the momentum buffer in a
-    reduced dtype — the EMA blend still computes in fp32. Newton-Schulz
-    already runs in bf16 and normalizes its input, so the direction is
-    insensitive to momentum rounding; this halves Muon's optimizer state
-    (~0.5 GB for the 0.25° flagship, PERF.md memory ledger). Off (None =
-    param dtype) by default for exact parity with the reference trajectory.
+    reduced dtype — the EMA blend still computes in fp32, and the cast back
+    to bfloat16 uses STOCHASTIC rounding (``_stochastic_round_bf16``) so the
+    buffer keeps tracking gradients whose per-step increment is below a bf16
+    ULP (deterministic rounding would freeze it once
+    ``|(1-momentum)*(g-m)| < ~2^-9*|m|``). Newton-Schulz already runs in
+    bf16 and normalizes its input, so the direction is insensitive to the
+    rounding noise; this halves Muon's optimizer state (~0.5 GB for the
+    0.25° flagship, PERF.md memory ledger). Off (None = param dtype) by
+    default for exact parity with the reference trajectory.
     """
+
+    use_sr = momentum_dtype is not None and jnp.dtype(momentum_dtype) == jnp.bfloat16
 
     def init_fn(params):
         def zeros(p):
             return jnp.zeros(p.shape, momentum_dtype or p.dtype)
 
-        return MuonState(momentum=jax.tree_util.tree_map(zeros, params))
+        return MuonState(
+            momentum=jax.tree_util.tree_map(zeros, params),
+            count=jnp.zeros((), jnp.int32) if use_sr else (),
+        )
 
     def _ortho(path, u):
         if u.ndim < 2:
@@ -234,12 +263,30 @@ def scale_by_muon(
 
     def update_fn(updates, state, params=None):
         def blend(m, g):
-            out = m.astype(jnp.float32) + (1 - momentum) * (
+            return m.astype(jnp.float32) + (1 - momentum) * (
                 g.astype(jnp.float32) - m.astype(jnp.float32)
             )
-            return out.astype(m.dtype)
 
-        new_momentum = jax.tree_util.tree_map(blend, state.momentum, updates)
+        if use_sr:
+            # bf16 buffer: stochastically round the fp32 blend so sub-ULP
+            # updates accumulate in expectation (see _stochastic_round_bf16).
+            count = state.count + 1
+            base = jax.random.fold_in(jax.random.PRNGKey(0x5357), count)
+            m_leaves, treedef = jax.tree_util.tree_flatten(state.momentum)
+            g_leaves = treedef.flatten_up_to(updates)
+            new_leaves = [
+                _stochastic_round_bf16(
+                    blend(m, g), jax.random.fold_in(base, i)
+                )
+                for i, (m, g) in enumerate(zip(m_leaves, g_leaves))
+            ]
+            new_momentum = jax.tree_util.tree_unflatten(treedef, new_leaves)
+        else:
+            count = state.count
+            new_momentum = jax.tree_util.tree_map(
+                lambda m, g: blend(m, g).astype(m.dtype),
+                state.momentum, updates,
+            )
         if nesterov:
             blended = jax.tree_util.tree_map(
                 lambda g, m: g + momentum * (m.astype(g.dtype) - g),
@@ -250,7 +297,7 @@ def scale_by_muon(
                 lambda g, m: m.astype(g.dtype), updates, new_momentum
             )
         ortho = jax.tree_util.tree_map_with_path(_ortho, blended)
-        return ortho, MuonState(momentum=new_momentum)
+        return ortho, MuonState(momentum=new_momentum, count=count)
 
     return optax.GradientTransformation(init_fn, update_fn)
 

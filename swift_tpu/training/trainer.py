@@ -310,11 +310,16 @@ class Trainer:
                 # scan over microbatches; grads accumulate in param dtype
                 # (fp32). Loss/grads are means over the full device batch
                 # (each microbatch loss is already a per-sample mean).
-                mbs = jax.tree_util.tree_map(
-                    lambda a: a.reshape(accum, a.shape[0] // accum,
-                                        *a.shape[1:]),
-                    batch,
-                )
+                def split_mb(a):
+                    if a.shape[0] % accum:
+                        raise ValueError(
+                            f"grad_accum={accum} requires every batch leaf's "
+                            f"leading (batch) dim to be divisible by it; got "
+                            f"shape {a.shape}"
+                        )
+                    return a.reshape(accum, a.shape[0] // accum, *a.shape[1:])
+
+                mbs = jax.tree_util.tree_map(split_mb, batch)
                 keys = jax.random.split(key, accum)
 
                 def body(carry, inp):

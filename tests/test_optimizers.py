@@ -259,3 +259,46 @@ def test_muon_bf16_momentum_tracks_fp32():
     # and the bf16 run still descends like the fp32 one on a quadratic
     _quadratic_descent(muon(0.05, momentum_dtype=jnp.bfloat16),
                        {"w": jnp.zeros((16, 16))})
+
+
+def test_stochastic_round_bf16_unbiased_and_tracks_sub_ulp():
+    """The bf16 momentum cast uses stochastic rounding (r3 ADVICE): a
+    persistent update below half a bf16 ULP must still accumulate in
+    expectation instead of freezing the buffer."""
+    from swift_tpu.training.optimizers.muon import (
+        _stochastic_round_bf16, scale_by_muon,
+    )
+
+    # unbiasedness: E[sr(x)] == x for values square in the rounding gap
+    x = jnp.full((20000,), 1.0 + 2 ** -10, jnp.float32)  # midpoint-ish
+    out = _stochastic_round_bf16(x, jax.random.PRNGKey(0))
+    assert out.dtype == jnp.bfloat16
+    err = float(jnp.mean(out.astype(jnp.float32))) - float(x[0])
+    assert abs(err) < 2e-4, err  # deterministic rounding would give ~1e-3
+
+    # freeze regime: momentum ~1.0, per-step increment (1-mom)*(g-m) ~2e-4
+    # (far below the bf16 ULP 2^-8=3.9e-3 at 1.0). Deterministic rounding
+    # freezes m forever; SR must drift toward g.
+    mom = 0.95
+    opt = scale_by_muon(momentum=mom, momentum_dtype=jnp.bfloat16)
+    params = {"w": jnp.zeros((8, 128), jnp.float32)}
+    state = opt.init(params)
+    state = state._replace(momentum={"w": jnp.ones((8, 128), jnp.bfloat16)})
+    g = {"w": jnp.full((8, 128), 1.004, jnp.float32)}
+    for _ in range(200):
+        _, state = opt.update(g, state, params)
+    drift = float(jnp.mean(state.momentum["w"].astype(jnp.float32))) - 1.0
+    # expectation after 200 steps: 0.004*(1-0.95^200) ~ 0.004
+    assert drift > 0.002, f"bf16 momentum froze (drift={drift})"
+
+
+def test_muon_fp32_state_layout_unchanged_by_sr_counter():
+    """fp32-momentum MuonState must contribute the same checkpoint leaves
+    as before the SR counter landed (count=() flattens to nothing)."""
+    from swift_tpu.training.optimizers.muon import scale_by_muon
+
+    params = {"w": jnp.zeros((4, 4))}
+    s32 = scale_by_muon().init(params)
+    assert len(jax.tree_util.tree_leaves(s32)) == 1
+    sb = scale_by_muon(momentum_dtype=jnp.bfloat16).init(params)
+    assert len(jax.tree_util.tree_leaves(sb)) == 2  # momentum + count

@@ -163,3 +163,18 @@ def test_combined_primal_tangent_kernel_direct():
                                rtol=2e-3, atol=2e-3)
     np.testing.assert_allclose(np.asarray(do), np.asarray(do_ref),
                                rtol=2e-3, atol=2e-3)
+
+
+def test_jvp_weight_tangent_raises():
+    """The jvp-capable entry propagates tangents only through activations
+    (the sCM contract: params are constants under jax.jvp). A weight
+    tangent must raise loudly at trace time instead of being silently
+    dropped (r3 ADVICE)."""
+    x, w1, w2 = _inputs(5)
+    dw1 = jax.random.normal(jax.random.PRNGKey(12), w1.shape, w1.dtype)
+
+    with pytest.raises(NotImplementedError, match="fused_swiglu_ffn"):
+        jax.jvp(
+            lambda w1: pf.fused_swiglu_ffn(x, w1, w2, jvp=True),
+            (w1,), (dw1,),
+        )
