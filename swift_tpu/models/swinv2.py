@@ -68,19 +68,23 @@ def _wsc(x, mesh, *entries):
 def _jvp_big_grid(x) -> bool:
     """Route a jvp-flagged forward to the fused pallas kernels?
 
-    Small grids keep the jnp jvp path (MEASURED faster — XLA CSEs gate/up
-    between primal and tangent and fuses the LN-tangent chain;
-    scripts/probe_jvp_variants.py, PERF.md r3 ledger); large grids take the
-    fused kernels because the jnp path's (tokens, 2·hidden) fp32 HBM
-    intermediates are the 0.25° memory cliff. One shared gate so
-    FeedForward and ModulatedNorm can't diverge. Threshold env-overridable
-    for A/B probes."""
+    Flagship-sized and larger grids (≥8192 tokens — the 1.4° grid is
+    exactly 8192) take the fused kernels: with the COMBINED primal+tangent
+    FFN kernel (gate/up shared in VMEM) the fused pair MEASURED 717.4 ms vs
+    751.5 ms for the jnp jvp forward at B=16 (r4,
+    scripts/probe_jvp_variants.py) — and at 0.25° the jnp path's
+    (tokens, 2·hidden) fp32 HBM intermediates are a 6-12 GB memory cliff.
+    The gate is SHARED between FeedForward and ModulatedNorm because each
+    kernel alone measured SLOWER than jnp (839/812 ms — breaking XLA's
+    primal/tangent CSE without removing the HBM round-trips); only the pair
+    wins. Genuinely small grids (tests) keep the jnp path. Threshold
+    env-overridable for A/B probes."""
     if x is None:
         return False
     tokens = 1
     for s in x.shape[1:-1]:
         tokens *= s
-    return tokens >= int(os.environ.get("SWIFT_JVP_FUSED_MIN_TOKENS", "65536"))
+    return tokens >= int(os.environ.get("SWIFT_JVP_FUSED_MIN_TOKENS", "8192"))
 
 
 def _broadcast_t(t, B: int) -> jnp.ndarray:
