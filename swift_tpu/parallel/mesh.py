@@ -32,22 +32,46 @@ _MESH: Optional[Mesh] = None
 def maybe_initialize_distributed():
     """Multi-host bootstrap: call ``jax.distributed.initialize()`` when the
     environment indicates a TPU pod / explicit coordinator (replaces the
-    reference's ezpz.setup_torch + MPI launch, SURVEY.md §5.8). No-op on a
-    single host; idempotent."""
+    reference's ezpz.setup_torch + MPI launch with MASTER_ADDR/RANK env
+    plumbing, SURVEY.md §5.8 and reference scripts/aurora-general.sh:58-96).
+    No-op on a single host; idempotent.
+
+    Two modes:
+      * auto-detected cluster (TPU pod / Megascale): ``initialize()`` with
+        no arguments — the cluster plugin fills in coordinator/rank;
+      * explicit coordinator (the reference's ``MASTER_ADDR`` pattern):
+        ``SWIFT_COORDINATOR`` (or ``JAX_COORDINATOR_ADDRESS``) +
+        ``SWIFT_NUM_PROCESSES`` + ``SWIFT_PROCESS_ID`` pin all three —
+        this is how the 2-process CPU tier is exercised in CI
+        (tests/test_multiprocess.py) and how a bare-metal launch without a
+        cluster resolver bootstraps.
+    """
     import os
 
-    indicators = (
-        "JAX_COORDINATOR_ADDRESS",
-        "COORDINATOR_ADDRESS",
-        "MEGASCALE_COORDINATOR_ADDRESS",
+    if os.environ.get("SWIFT_NO_DIST_INIT"):
+        return False
+    coord = (
+        os.environ.get("SWIFT_COORDINATOR")
+        or os.environ.get("JAX_COORDINATOR_ADDRESS")
+        or os.environ.get("COORDINATOR_ADDRESS")
+        or os.environ.get("MEGASCALE_COORDINATOR_ADDRESS")
     )
-    multi = any(k in os.environ for k in indicators) or (
+    multi = coord is not None or (
         os.environ.get("TPU_WORKER_HOSTNAMES", "").count(",") >= 1
     )
-    if not multi or os.environ.get("SWIFT_NO_DIST_INIT"):
+    if not multi:
         return False
+    kwargs = {}
+    nproc = os.environ.get("SWIFT_NUM_PROCESSES")
+    pid = os.environ.get("SWIFT_PROCESS_ID")
+    if coord and nproc is not None and pid is not None:
+        kwargs = dict(
+            coordinator_address=coord,
+            num_processes=int(nproc),
+            process_id=int(pid),
+        )
     try:
-        jax.distributed.initialize()
+        jax.distributed.initialize(**kwargs)
         return True
     except (RuntimeError, ValueError):
         return False  # already initialized or single-process
@@ -88,19 +112,38 @@ def get_mesh() -> Mesh:
 
 
 def shard_batch(batch, mesh: Optional[Mesh] = None, axis: str = "data"):
-    """Device-put a host batch with the leading dim sharded over ``axis``."""
+    """Device-put a host batch with the leading dim sharded over ``axis``.
+
+    ``batch`` is the GLOBAL batch: under multi-process (pod) execution every
+    process passes the same full-batch host array (the samplers are seeded
+    identically across ranks, replacing the reference's rank round-robin
+    sampler offsets) and only the rows owned by this process's devices are
+    materialized, via ``make_array_from_callback``.
+    """
     mesh = mesh or get_mesh()
+    multiprocess = jax.process_count() > 1
 
     def put(x):
         x = np.asarray(x)
         spec = P(axis, *([None] * (x.ndim - 1))) if x.ndim >= 1 else P()
-        return jax.device_put(x, NamedSharding(mesh, spec))
+        ns = NamedSharding(mesh, spec)
+        if multiprocess:
+            return jax.make_array_from_callback(x.shape, ns, lambda idx: x[idx])
+        return jax.device_put(x, ns)
 
     return jax.tree_util.tree_map(put, batch)
 
 
 def replicate(tree, mesh: Optional[Mesh] = None):
-    """Fully replicate a pytree over the mesh."""
+    """Fully replicate a pytree over the mesh (multi-process safe: every
+    process must hold the same host values)."""
     mesh = mesh or get_mesh()
     sharding = NamedSharding(mesh, P())
-    return jax.tree_util.tree_map(lambda x: jax.device_put(x, sharding), tree)
+
+    def put(x):
+        if jax.process_count() > 1:
+            x = np.asarray(x)
+            return jax.make_array_from_callback(x.shape, sharding, lambda idx: x[idx])
+        return jax.device_put(x, sharding)
+
+    return jax.tree_util.tree_map(put, tree)
