@@ -46,6 +46,17 @@ parser.add_argument("--solver", type=str, default="scm",
                     choices=["scm", "edm", "dpm", "2s"])
 parser.add_argument("--num-solver-steps", type=int, default=1)
 parser.add_argument("--seed", type=int, default=0)
+parser.add_argument("--pp", type=int, default=0,
+                    help="Pipeline-parallel stages for the solver net (0=off). "
+                    "Devices split as (data=-1, pipe=PP); use when the model's "
+                    "layer stack outgrows one chip's HBM — otherwise pure "
+                    "(member x ic) data sharding is faster. The reference "
+                    "planned but never shipped this (generating/diffusion.py "
+                    "'TODO: PP Prediction').")
+parser.add_argument("--pp-micro", type=int, default=None,
+                    help="Microbatches per pipeline round-trip (default: PP; "
+                    "more microbatches shrink the (PP-1)/(M+PP-1) bubble; "
+                    "members*batch must divide pp_micro*data_size)")
 
 
 def _rank0_barrier(fn, *fn_args, **fn_kwargs):
@@ -176,7 +187,29 @@ def main(args):
     else:
         ema_params = load_checkpoint(ckpt, {"ema": params})["ema"]
 
-    mesh = make_mesh(("data",))
+    pp = args.pp
+    if not pp:
+        # a run trained/saved with system/tpu-pp.yaml carries the pipe axis
+        # in its config; honor it unless --pp overrides.
+        sys_mesh = cfg.get("system", {}).get("mesh", {})
+        axes = list(sys_mesh.get("axes", []))
+        if "pipe" in axes:
+            sizes = sys_mesh.get("sizes", [])
+            pp = int(sizes[axes.index("pipe")]) if sizes else 2
+            if args.pp_micro is None:
+                args.pp_micro = (cfg.get("system", {}).get("pipeline", {})
+                                 or {}).get("n_micro")
+    if pp and pp > 1:
+        # pipeline-parallel prediction: the block-pair stack shards over a
+        # "pipe" axis; (member x ic) still shards over "data".
+        from swift_tpu.parallel.pipeline import pipelined_precond
+
+        mesh = make_mesh(("data", "pipe"), (-1, pp))
+        precond = pipelined_precond(
+            precond, mesh, n_micro=args.pp_micro, data_axis="data"
+        )
+    else:
+        mesh = make_mesh(("data",))
     log0(f"Mesh: {mesh}")
 
     odir = os.path.join(args.input, "output", ckpt_basename)

@@ -53,6 +53,10 @@ class BasePrecond:
     sigma_min: float = 0.0
     sigma_max: float = float("inf")
     sigma_data: float = 1.0
+    # Optional parallel.pipeline.PipelineSpec: when set, the model forward
+    # runs pipeline-parallel over the spec's mesh (prediction paths only) —
+    # see parallel/pipeline.pipelined_precond.
+    pipeline: Any = None
 
     # ---- parameter init -------------------------------------------------
     def init(self, rng: jax.Array) -> Any:
@@ -71,6 +75,21 @@ class BasePrecond:
             raise ValueError(
                 f"input spatial shape {arg.shape[1:3]} does not match the "
                 f"network img_resolution {(H, W)} (NHWC layout expected)"
+            )
+        if self.pipeline is not None:
+            if kwargs:
+                raise ValueError(
+                    "pipeline-parallel forward supports the plain prediction "
+                    f"call only (got model kwargs {sorted(kwargs)}); use a "
+                    "non-pipelined precond for training/logvar paths"
+                )
+            from swift_tpu.parallel.pipeline import pipelined_swinv2_forward
+
+            p = self.pipeline
+            return pipelined_swinv2_forward(
+                self.model, {"params": params}, arg, t, auxiliary,
+                mesh=p.mesh, pipe_axis=p.pipe_axis, n_micro=p.n_micro,
+                data_axis=p.data_axis,
             )
         return self.model.apply({"params": params}, arg, t, auxiliary=auxiliary, **kwargs)
 

@@ -35,10 +35,36 @@ when a future model's *layer stack* outgrows a single device's HBM (the
 
 from __future__ import annotations
 
+import dataclasses
 from typing import Any, Optional
 
 import jax
 import jax.numpy as jnp
+
+
+@dataclasses.dataclass(frozen=True)
+class PipelineSpec:
+    """Static description of a pipelined forward, carried by a precond
+    (``BasePrecond.pipeline``) so the existing solver/factory/ensemble
+    surfaces engage PP without API changes — the productization of the
+    reference's dead ``pipeline_engine`` kwarg (reference
+    src/swift/generating/diffusion.py:25,65-71)."""
+
+    mesh: Any
+    pipe_axis: str = "pipe"
+    n_micro: Optional[int] = None
+    data_axis: Optional[str] = None
+
+
+def pipelined_precond(precond, mesh, *, pipe_axis: str = "pipe",
+                      n_micro: Optional[int] = None,
+                      data_axis: Optional[str] = None):
+    """Return a copy of ``precond`` whose model forward runs through
+    ``pipelined_swinv2_forward`` on ``mesh``'s ``pipe_axis``. Drop-in for
+    every sampler path (``param_sampler_factory``, ``EnsembleRollout``)."""
+    spec = PipelineSpec(mesh=mesh, pipe_axis=pipe_axis, n_micro=n_micro,
+                        data_axis=data_axis)
+    return dataclasses.replace(precond, pipeline=spec)
 
 
 def pipelined_swinv2_forward(

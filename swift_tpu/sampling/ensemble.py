@@ -104,7 +104,14 @@ class EnsembleRollout:
         x = np.asarray(x)
         if self.mesh is None:
             return jnp.asarray(x)
-        D = int(np.prod([self.mesh.shape[a] for a in self.mesh.axis_names]))
+        # batch shards over the "data" axis only; any other axis ("pipe" for
+        # pipeline-parallel prediction) is a model axis the sampler's own
+        # shard_map consumes — the batch replicates across it.
+        D = (
+            self.mesh.shape["data"]
+            if "data" in self.mesh.axis_names
+            else int(np.prod([self.mesh.shape[a] for a in self.mesh.axis_names]))
+        )
         if x.shape[0] % D == 0:
             spec = P("data", *([None] * (x.ndim - 1)))
             return jax.device_put(x, NamedSharding(self.mesh, spec))
@@ -137,7 +144,11 @@ class EnsembleRollout:
         M = self.members
         MB = M * B
         if self.mesh is not None:
-            D = int(np.prod([self.mesh.shape[a] for a in self.mesh.axis_names]))
+            D = (
+                self.mesh.shape["data"]
+                if "data" in self.mesh.axis_names
+                else int(np.prod([self.mesh.shape[a] for a in self.mesh.axis_names]))
+            )
             if MB % D != 0:
                 logger.warning(
                     f"member*ic batch {MB} not divisible by {D} devices; "
