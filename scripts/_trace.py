@@ -14,6 +14,19 @@ import json
 from collections import defaultdict
 
 
+def start_device_trace(outdir: str):
+    """start_trace with the host PYTHON tracer off. The python tracer can
+    emit ~1M host events on a multi-second step and flood the chrome trace
+    past its event cap, truncating the DEVICE timeline we actually parse
+    (first seen on the 0.25° train probe, r4)."""
+    import jax
+
+    opts = jax.profiler.ProfileOptions()
+    opts.python_tracer_level = 0
+    opts.host_tracer_level = 1
+    jax.profiler.start_trace(outdir, profiler_options=opts)
+
+
 def load_trace(outdir: str):
     """Parse the newest trace in ``outdir`` -> (events, device_pids)."""
     traces = sorted(glob.glob(outdir + "/**/*.trace.json.gz", recursive=True))

@@ -163,8 +163,10 @@ def main():
     log(f"  {time.perf_counter() - t0:.1f}s; loss {float(l):.4f}")
     assert np.isfinite(float(l))
 
+    from scripts._trace import start_device_trace
+
     shutil.rmtree(OUTDIR, ignore_errors=True)
-    jax.profiler.start_trace(OUTDIR)
+    start_device_trace(OUTDIR)
     N = 2
     for i in range(N):
         k = jax.random.PRNGKey(i)
