@@ -15,6 +15,7 @@ replaces DDP; the loader is the thread prefetcher from data.pipeline.
 from __future__ import annotations
 
 import hashlib
+import math
 import os
 import shutil
 import sys
@@ -149,11 +150,26 @@ def main(argv=None):
     seed = int(cfg["seed"]) + string_to_int(run_id)
     np.random.seed((seed * jax.process_count() + jax.process_index()) % (1 << 31))
 
-    mesh = make_mesh(
-        tuple(cfg.get("system", {}).get("mesh", {}).get("axes", ["data"])),
-        cfg.get("system", {}).get("mesh", {}).get("sizes"),
-    )
+    mesh_axes = tuple(cfg.get("system", {}).get("mesh", {}).get("axes", ["data"]))
+    mesh_sizes = cfg.get("system", {}).get("mesh", {}).get("sizes")
     n_devices = jax.device_count()
+    if mesh_axes == ("data",) and mesh_sizes in (None, [-1], (-1,)):
+        # small-config guard: a global batch that does not divide the device
+        # count (e.g. the tiny synthetic experiment on an 8-device dev mesh)
+        # must not die in an opaque device_put error — clamp the data axis to
+        # the largest batch divisor and leave the rest of the devices idle.
+        gb = int(cfg["data"]["batch_size"])
+        dp = math.gcd(gb, n_devices)
+        if dp != n_devices:
+            log0(
+                f"WARNING: global batch {gb} does not divide {n_devices} "
+                f"devices; using a {dp}-device data mesh ({n_devices - dp} "
+                "devices idle). Raise data.batch_size to use the full mesh."
+            )
+        mesh_sizes = [dp]
+        mesh = make_mesh(mesh_axes, mesh_sizes, devices=jax.devices()[:dp])
+    else:
+        mesh = make_mesh(mesh_axes, mesh_sizes)
     log0(f"Mesh: {mesh} ({n_devices} devices)")
 
     log0("Loading dataset...")
