@@ -73,6 +73,13 @@ def bench_geometry(geometry: str) -> float:
     cfg = dict(FLAGSHIP)
     if geometry == "hd128":
         cfg.update(heads=8, head_dim=128)
+    elif geometry == "int8":
+        # hd128 + dynamically-quantized int8 qkv/FFN (SwinV2.quant — the
+        # 2x-MXU-rate inference path). ACCURACY-AFFECTING (r4 measured 4.1%
+        # rel-RMS forward deviation from bf16 on random weights) — reported
+        # as an extra key, never the headline, until a real-data RMSE/CRPS
+        # A/B blesses it (PERF.md lever (e)).
+        cfg.update(heads=8, head_dim=128, quant="int8")
     precond = _build(cfg)
 
     # params: instant numpy build (values irrelevant for throughput),
@@ -149,7 +156,9 @@ def main():
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     log(f"devices: {jax.devices()}")
 
-    geometries = ["parity", "hd128"] if GEOMETRY == "both" else [GEOMETRY]
+    geometries = (
+        ["parity", "hd128", "int8"] if GEOMETRY == "both" else [GEOMETRY]
+    )
     results = {}
     for g in geometries:
         results[g] = bench_geometry(g)
@@ -169,6 +178,9 @@ def main():
     }
     if "hd128" in results and head != "hd128":
         out["hd128_steps_per_sec_per_chip"] = round(results["hd128"], 2)
+    if "int8" in results and head != "int8":
+        # opt-in accuracy-affecting path; see bench_geometry("int8") note
+        out["hd128_int8_steps_per_sec_per_chip"] = round(results["int8"], 2)
     print(json.dumps(out))
 
 

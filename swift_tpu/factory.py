@@ -107,6 +107,7 @@ def build_model(
             timestep_weight=float(cfg.get("timestep_weight", 1.0)),
             dtype=dtype,
             mesh=mesh,
+            quant=cfg.get("quant") or None,
         )
     if target == "Swin":
         from swift_tpu.models.swin import Swin

@@ -53,6 +53,11 @@ parser.add_argument("--pp", type=int, default=0,
                     "(member x ic) data sharding is faster. The reference "
                     "planned but never shipped this (generating/diffusion.py "
                     "'TODO: PP Prediction').")
+parser.add_argument("--int8", action="store_true",
+                    help="Dynamically-quantized int8 qkv/FFN matmuls for the "
+                    "forecast (2x MXU rate on v5e+). Accuracy-affecting: "
+                    "opt-in until a real-data RMSE/CRPS A/B blesses it "
+                    "(tests/test_quant.py gates it on synthetic forecasts).")
 parser.add_argument("--pp-micro", type=int, default=None,
                     help="Microbatches per pipeline round-trip (default: PP; "
                     "more microbatches shrink the (PP-1)/(M+PP-1) bubble; "
@@ -148,6 +153,8 @@ def main(args):
     subset = AttributeSubset(dataset, indices)
 
     log0("Constructing network...")
+    if args.int8:
+        cfg.setdefault("model", {})["quant"] = "int8"
     precond = factory.build_precond(
         cfg["precond"], cfg["model"],
         dataset.img_resolution,

@@ -209,6 +209,7 @@ class FeedForward(nn.Module):
     data_axis: Optional[str] = None
     model_axis: Optional[str] = None
     use_pallas: Optional[bool] = None
+    quant: Optional[str] = None  # "int8": dynamic-quant inference matmuls
 
     @nn.compact
     def __call__(
@@ -229,6 +230,22 @@ class FeedForward(nn.Module):
             use_pallas=self.use_pallas, mesh=self.mesh,
             data_axis=self.data_axis,
         )
+        if self.quant == "int8" and not jvp:
+            # inference-only dynamic int8 (PERF.md lever (e)); accuracy
+            # gated by tests/test_quant.py. No vjp/jvp rules by design.
+            from swift_tpu.ops.pallas_ffn import (
+                fused_swiglu_ffn_int8,
+                reference_swiglu_ffn_int8,
+            )
+
+            if use_pallas and self.mesh is None:
+                try:
+                    y = fused_swiglu_ffn_int8(x.astype(self.dtype), k1, k2)
+                    return norm(y, t, residual=inputs, jvp=jvp)
+                except ValueError:  # token count doesn't tile
+                    pass
+            y = reference_swiglu_ffn_int8(x.astype(self.dtype), k1, k2)
+            return norm(y.astype(self.dtype), t, residual=inputs, jvp=jvp)
         # jvp routing shared with ModulatedNorm — see _jvp_big_grid (speed
         # vs the 0.25° memory cliff).
         fused = use_pallas and self.mesh is None and (not jvp or _jvp_big_grid(x))
@@ -286,6 +303,7 @@ class WindowAttention(nn.Module):
     mesh: Any = None
     data_axis: Optional[str] = None
     model_axis: Optional[str] = None
+    quant: Optional[str] = None  # "int8": dynamic-quant qkv projection
 
     @nn.compact
     def __call__(
@@ -326,6 +344,26 @@ class WindowAttention(nn.Module):
         if use_pallas is None:
             use_pallas = jax.default_backend() == "tpu"
 
+        def _proj(xx, kk):
+            # qkv projection; int8 dynamic-quant variant on the inference
+            # path (2x MXU rate; the rescale chain fuses into the dot).
+            if self.quant == "int8" and not jvp:
+                from swift_tpu.ops.quant import int8_matmul
+
+                return int8_matmul(xx, kk).astype(self.dtype)
+            if use_pallas and self.mesh is None:
+                # pallas-pinned matmul (ops/pallas_linear.py): holds the
+                # qkv dot at kernel speed in the jvp-forward / remat'd-
+                # backward fusion contexts too — measured -43 ms on the
+                # hd128 train step (a bare 2D reshape measured NEUTRAL).
+                from swift_tpu.ops.pallas_linear import fused_linear
+
+                try:
+                    return fused_linear(xx.astype(self.dtype), kk, jvp=jvp)
+                except ValueError:
+                    pass
+            return jnp.dot(xx.astype(self.dtype), kk.astype(self.dtype))
+
         kind = None
         if use_pallas:
             if block_attention_eligible(
@@ -351,7 +389,7 @@ class WindowAttention(nn.Module):
                     kp, ((0, 0), (0, 0), (0, 0), (0, dp - self.head_dim))
                 )
             kp = kp.reshape(x.shape[-1], self.heads * 3 * dp)
-            qkv = jnp.dot(x.astype(self.dtype), kp.astype(self.dtype))
+            qkv = _proj(x, kp)
             # column-parallel qkv: features are heads-major chunks, so
             # sharding them over `model` IS the per-head split.
             qkv = _wsc(qkv, self.mesh, self.data_axis, None, None, self.model_axis)
@@ -376,7 +414,7 @@ class WindowAttention(nn.Module):
             padded_out = dp != self.head_dim
         else:
             padded_out = False
-            qkv = jnp.dot(x.astype(self.dtype), k_qkv.astype(self.dtype))
+            qkv = _proj(x, k_qkv)
             qkv = _wsc(qkv, self.mesh, self.data_axis, None, None, self.model_axis)
             out = self._per_head_path(
                 qkv, logit_scale, jvp,
@@ -474,6 +512,7 @@ class SwinBlock(nn.Module):
     mesh: Any = None
     data_axis: Optional[str] = None
     model_axis: Optional[str] = None
+    quant: Optional[str] = None
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, t: jnp.ndarray, jvp: bool = False):
@@ -488,14 +527,15 @@ class SwinBlock(nn.Module):
         x = WindowAttention(
             self.dim, self.heads, self.head_dim,
             window_size=self.window_size, shift=self.shift,
-            dtype=self.dtype, use_pallas=self.use_pallas, name="attn", **tp,
+            dtype=self.dtype, use_pallas=self.use_pallas, name="attn",
+            quant=self.quant, **tp,
         )(x.reshape(B, gh, gw, D), t, jvp)
         x = x.reshape(B, N, D)
 
         x = _wsc(x, self.mesh, self.data_axis, None, None)
         x = FeedForward(
             self.dim, self.mlp_dim, dtype=self.dtype, name="ff",
-            use_pallas=self.use_pallas, **tp,
+            use_pallas=self.use_pallas, quant=self.quant, **tp,
         )(x, t, jvp)
         return x
 
@@ -522,6 +562,7 @@ class SwinBlockPair(nn.Module):
     mesh: Any = None
     data_axis: Optional[str] = None
     model_axis: Optional[str] = None
+    quant: Optional[str] = None
     # nested per-BLOCK remat inside the (already pair-remat'd) scan body:
     # halves the backward recompute window at the cost of ~one extra
     # forward — needed to fit the 0.25° grid on a 16 GB chip.
@@ -535,6 +576,7 @@ class SwinBlockPair(nn.Module):
             grid_size=self.grid_size, dtype=self.dtype,
             use_pallas=self.use_pallas, mesh=self.mesh,
             data_axis=self.data_axis, model_axis=self.model_axis,
+            quant=self.quant,
         )
         Block = (
             # static_argnums counts self: (x=1, cond=2, jvp=3) — the jvp
@@ -593,6 +635,11 @@ class SwinV2(nn.Module):
     timestep_weight: float = 1.0
     dtype: Dtype = jnp.bfloat16
     use_pallas: Optional[bool] = None  # None = auto (pallas on TPU only)
+    # "int8": dynamically-quantized qkv + FFN matmuls on the inference path
+    # (jvp=False). The v5e MXU runs int8 at 2x bf16 rate; accuracy is
+    # forecast-gated (tests/test_quant.py) and the flag is opt-in —
+    # training/jvp paths always stay bf16/fp32. PERF.md lever (e).
+    quant: Optional[str] = None
     scan_layers: bool = True  # nn.scan over block pairs (even depth only)
     # rematerialize each block pair in the backward pass: the flagship sCM
     # step at a realistic batch keeps ~46 GB of activations without it (a
@@ -745,6 +792,7 @@ class SwinV2(nn.Module):
                 mesh=self.mesh, data_axis=self.data_axis,
                 model_axis=self.model_axis,
                 remat_blocks=self.remat_blocks,
+                quant=self.quant,
             )(h, cond_c)
         else:
             for i in range(self.depth):
@@ -763,6 +811,7 @@ class SwinV2(nn.Module):
                     mesh=self.mesh,
                     data_axis=self.data_axis,
                     model_axis=self.model_axis,
+                    quant=self.quant,
                 )(h, cond_c, jvp)
         if stage == "pairs":
             return h

@@ -26,6 +26,7 @@ from __future__ import annotations
 
 import functools
 import math
+import os
 
 import jax
 import jax.numpy as jnp
@@ -145,9 +146,11 @@ def _ffn_bwd_kernel(x_ref, dy_ref, wg_ref, wu_ref, w2_ref,
 def _ffn_bwd_call(x2, dy2, wg, wu, w2):
     T, D = x2.shape
     H = wg.shape[1]
-    # smaller token tiles than the fwd: the fp32 weight-grad accumulators
-    # (~36 MB) + weights (~18 MB) already claim half the VMEM budget.
-    bt = min(_pick_block(T), 256)
+    # bt=512 measured FASTER than 256 (r4: FFN bwd 143 -> 158 TF/s,
+    # -50 ms/step on the hd128 train step) — the fp32 weight-grad
+    # accumulators (~36 MB) + weights (~18 MB) + six (bt, H) fp32 tile
+    # intermediates still fit the 110 MB scoped budget at 512.
+    bt = min(_pick_block(T), int(os.environ.get("SWIFT_FFN_BWD_BT", "512")))
     tok = lambda n: pl.BlockSpec((bt, n), lambda i: (i, 0),
                                  memory_space=pltpu.VMEM)
     const = lambda s: pl.BlockSpec(s, lambda i: (0, 0),
@@ -234,9 +237,9 @@ def _ffn_pt_kernel(x_ref, dx_ref, wg_ref, wu_ref, w2_ref, o_ref, do_ref):
 def _ffn_pt_call(x2, dx2, wg, wu, w2):
     T, D = x2.shape
     H = wg.shape[1]
-    # smaller tiles than the primal-only kernel: six (bt, H) fp32
-    # intermediates live per tile.
-    bt = min(_pick_block(T), 256)
+    # six (bt, H) fp32 intermediates live per tile; 512 fits the scoped
+    # budget (same ledger entry as _ffn_bwd_call's tile bump).
+    bt = min(_pick_block(T), int(os.environ.get("SWIFT_FFN_PT_BT", "512")))
     tok = lambda: pl.BlockSpec((bt, D), lambda i: (i, 0),
                                memory_space=pltpu.VMEM)
     const = lambda s: pl.BlockSpec(s, lambda i: (0, 0),
@@ -321,6 +324,99 @@ def reference_swiglu_ffn(x, w1, w2):
     gate_up = jnp.dot(x, w1.astype(x.dtype))
     gate, up = jnp.split(gate_up, 2, axis=-1)
     return jnp.dot(jax.nn.silu(gate) * up, w2.astype(x.dtype))
+
+
+# ---------------------------------------------------------------------------
+# int8 inference FFN (PERF.md lever (e)): the v5e MXU runs int8 x int8 ->
+# int32 at 2x bf16 rate. Dynamic symmetric quantization — per-token
+# activation scales computed IN the kernel (the fp activations never make
+# a second HBM pass), per-column weight scales computed outside by the
+# caller (loop-invariant -> hoisted out of the solver scan by XLA). The
+# int8 weight set is ~8.9 MB VMEM (half of bf16). Inference-only: no
+# vjp/jvp rules — the quantize round is not usefully differentiable.
+
+
+def _ffn_q_kernel(x_ref, wgq_ref, wuq_ref, w2q_ref, sg_ref, su_ref, s2_ref,
+                  o_ref):
+    x = x_ref[...].astype(jnp.float32)
+    sx = jnp.maximum(jnp.max(jnp.abs(x), -1, keepdims=True), 1e-30) * (
+        1.0 / 127.0
+    )
+    xq = jnp.clip(jnp.round(x / sx), -127.0, 127.0).astype(jnp.int8)
+    g = jax.lax.dot_general(
+        xq, wgq_ref[...], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.int32,
+    ).astype(jnp.float32) * sx * sg_ref[...]
+    u = jax.lax.dot_general(
+        xq, wuq_ref[...], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.int32,
+    ).astype(jnp.float32) * sx * su_ref[...]
+    h = jax.nn.silu(g) * u
+    sh = jnp.maximum(jnp.max(jnp.abs(h), -1, keepdims=True), 1e-30) * (
+        1.0 / 127.0
+    )
+    hq = jnp.clip(jnp.round(h / sh), -127.0, 127.0).astype(jnp.int8)
+    y = jax.lax.dot_general(
+        hq, w2q_ref[...], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.int32,
+    ).astype(jnp.float32)
+    o_ref[...] = (y * sh * s2_ref[...]).astype(o_ref.dtype)
+
+
+def fused_swiglu_ffn_int8(x, w1, w2):
+    """Dynamically-quantized int8 SwiGLU FFN (inference only).
+
+    Same contract as ``fused_swiglu_ffn`` (x: (..., D); w1: (D, 2H) with
+    gate|up halves; w2: (H, D)); raises ValueError when the token count
+    doesn't tile. Numerics: tests/test_quant.py pins the kernel to the jnp
+    mirror (``reference_swiglu_ffn_int8``) and the mirror to the fp path.
+    """
+    from swift_tpu.ops.quant import quantize_colwise
+
+    D = x.shape[-1]
+    H = w1.shape[1] // 2
+    x2 = x.reshape(-1, D)
+    T = x2.shape[0]
+    bt = _pick_block(T)
+    if bt == 0:
+        raise ValueError(f"token count {T} does not tile")
+    wgq, sg = quantize_colwise(w1[:, :H])
+    wuq, su = quantize_colwise(w1[:, H:])
+    w2q, s2 = quantize_colwise(w2)
+    tok = lambda: pl.BlockSpec((bt, D), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM)
+    const = lambda s: pl.BlockSpec(s, lambda i: (0, 0),
+                                   memory_space=pltpu.VMEM)
+    y = pl.pallas_call(
+        _ffn_q_kernel,
+        grid=(T // bt,),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
+        in_specs=[tok(), const((D, H)), const((D, H)), const((H, D)),
+                  const((1, H)), const((1, H)), const((1, D))],
+        out_specs=tok(),
+        out_shape=jax.ShapeDtypeStruct((T, D), x.dtype),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * T * D * H * 3,
+            bytes_accessed=(2 * T * D * x.dtype.itemsize + 3 * D * H),
+            transcendentals=T * H,
+        ),
+    )(x2, wgq, wuq, w2q, sg, su, s2)
+    return y.reshape(x.shape)
+
+
+def reference_swiglu_ffn_int8(x, w1, w2):
+    """jnp mirror of the int8 kernel: same quantization points, XLA ops.
+    The CPU/fallback path for ``quant="int8"`` and the numerics oracle for
+    the kernel test."""
+    from swift_tpu.ops.quant import int8_matmul
+
+    H = w1.shape[1] // 2
+    g = int8_matmul(x, w1[:, :H])
+    u = int8_matmul(x, w1[:, H:])
+    h = jax.nn.silu(g) * u
+    return int8_matmul(h, w2).astype(x.dtype)
 
 
 # ---------------------------------------------------------------------------
