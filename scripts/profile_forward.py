@@ -36,6 +36,9 @@ def main():
         # the MXU-native head-width variant (experiment
         # era5-swinv2-1.4-scm-hd128.yaml): 8 x 128 heads, zero qkv pad tax
         cfg.update(heads=8, head_dim=128)
+    if "int8" in sys.argv[2:]:
+        # dynamic int8 qkv/FFN (SwinV2.quant, PERF.md lever (e))
+        cfg.update(quant="int8")
     precond = _build(cfg)
     rng = np.random.default_rng(0)
 

@@ -96,7 +96,9 @@ def main():
     per = (time.perf_counter() - t0) / N
     log(f"train step at B={BATCH}: {per:.3f} s")
 
-    jax.profiler.start_trace(OUTDIR)
+    from scripts._trace import start_device_trace
+
+    start_device_trace(OUTDIR)
     for i in range(2):
         l, params, opt_state = step(params, opt_state, jax.random.PRNGKey(i),
                                     x, cond, aux)
