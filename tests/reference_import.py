@@ -13,11 +13,26 @@ agreement with the reference's own code, not with a transcription.
 from __future__ import annotations
 
 import importlib
+import importlib.machinery
 import logging
 import sys
 import types
 
 REFERENCE_SRC = "/root/reference/src"
+
+
+def _stub_module(name: str) -> types.ModuleType:
+    """A stub module with a real (origin-less) ModuleSpec.
+
+    A bare ``types.ModuleType`` has ``__spec__ = None``, which makes
+    ``importlib.util.find_spec(name)`` RAISE ValueError for any later
+    caller (torch dynamo probes find_spec("xarray") and crashes on the
+    spec-less stub). An origin-less spec keeps find_spec well-behaved
+    while still marking the module as not-a-real-installation
+    (``spec.origin is None``)."""
+    mod = types.ModuleType(name)
+    mod.__spec__ = importlib.machinery.ModuleSpec(name, None)
+    return mod
 
 
 def _hydra_instantiate(cfg, **kwargs):
@@ -31,7 +46,7 @@ def _hydra_instantiate(cfg, **kwargs):
 
 def install_reference_stubs() -> None:
     if "omegaconf" not in sys.modules:
-        om = types.ModuleType("omegaconf")
+        om = _stub_module("omegaconf")
 
         class ListConfig(list):
             pass
@@ -49,7 +64,7 @@ def install_reference_stubs() -> None:
         sys.modules["omegaconf"] = om
 
     if "ezpz" not in sys.modules:
-        ez = types.ModuleType("ezpz")
+        ez = _stub_module("ezpz")
         ez.get_logger = logging.getLogger
         ez.get_rank = lambda: 0
         ez.get_world_size = lambda: 1
@@ -59,8 +74,8 @@ def install_reference_stubs() -> None:
         sys.modules["ezpz"] = ez
 
     if "hydra" not in sys.modules:
-        hydra = types.ModuleType("hydra")
-        utils = types.ModuleType("hydra.utils")
+        hydra = _stub_module("hydra")
+        utils = _stub_module("hydra.utils")
         utils.instantiate = _hydra_instantiate
         hydra.utils = utils
         sys.modules["hydra"] = hydra
@@ -70,8 +85,8 @@ def install_reference_stubs() -> None:
     # zarr and torchinfo at import time; none of them touch the math under
     # test (io only uses them in store helpers, validate only in main()).
     if "mpi4py" not in sys.modules:
-        mpi4py = types.ModuleType("mpi4py")
-        mpi = types.ModuleType("mpi4py.MPI")
+        mpi4py = _stub_module("mpi4py")
+        mpi = _stub_module("mpi4py.MPI")
 
         class _Comm:
             def Barrier(self):
@@ -93,14 +108,14 @@ def install_reference_stubs() -> None:
             try:
                 importlib.import_module(name)
             except ImportError:
-                sys.modules[name] = types.ModuleType(name)
+                sys.modules[name] = _stub_module(name)
 
     if "dask" not in sys.modules:
         try:
             importlib.import_module("dask.array")
         except ImportError:
-            dask = types.ModuleType("dask")
-            dask_array = types.ModuleType("dask.array")
+            dask = _stub_module("dask")
+            dask_array = _stub_module("dask.array")
             dask.array = dask_array
             sys.modules["dask"] = dask
             sys.modules["dask.array"] = dask_array
@@ -109,7 +124,7 @@ def install_reference_stubs() -> None:
         try:
             importlib.import_module("torchinfo")
         except ImportError:
-            ti = types.ModuleType("torchinfo")
+            ti = _stub_module("torchinfo")
             ti.summary = lambda *a, **k: None
             sys.modules["torchinfo"] = ti
 

@@ -105,30 +105,34 @@ def mesh8():
     [
         (4, 2, (8, 16), "member-tiled"),   # MB=8 divides 8 devices
         (1, 1, (8, 16), "spatial"),        # MB=1, lat 8 divides 8 devices
-        (3, 1, (12, 16), "replicate"),     # MB=3 and lat 12 both indivisible
+        (3, 1, (12, 16), "padded"),        # MB=3 and lat 12 both indivisible
     ],
 )
 def test_mesh_matches_single_device(tmp_path_factory, mesh8, members, B,
                                     shape, branch, caplog):
-    """Each _shard branch (ensemble.py:103-131) reproduces the mesh=None
-    trajectories bit-for-bit-at-tolerance through a real model; the
-    replicate branch must additionally warn loudly about redundant
-    compute."""
+    """Each sharding strategy (ensemble.py) reproduces the mesh=None
+    trajectories bit-for-bit-at-tolerance through a real model. An
+    indivisible member*ic batch takes the REMAINDER-SHARDING path (r4):
+    padded to the next device multiple, pad rows dropped at flush — not
+    the old fully-replicated fallback."""
     ds = _dataset(tmp_path_factory, shape)
     sampler, params = _sampler(shape)
     steps = 3
 
     base = _run(sampler, params, ds, members, B, steps, None, shape)
-    with caplog.at_level(logging.WARNING):
+    with caplog.at_level(logging.INFO):
         sharded = _run(sampler, params, ds, members, B, steps, mesh8, shape)
 
     np.testing.assert_allclose(sharded, base, rtol=2e-4, atol=2e-4)
     # members must actually differ from each other (latents are per-member)
     if members > 1:
         assert np.abs(base[:, 0, 1:] - base[:, 1, 1:]).max() > 1e-4
-    if branch == "replicate":
-        assert any("replicated over" in r.message for r in caplog.records), \
-            "replicate fallback must warn about redundant compute"
+    if branch == "padded":
+        assert any("padded to" in r.message for r in caplog.records), \
+            "indivisible batch must take the padded remainder-sharding path"
+        assert not any("replicated over" in r.message
+                       for r in caplog.records), \
+            "padded path must not fall back to full replication"
 
 
 def test_generate_cli_mesh_matches_single_device(tmp_path_factory, mesh8,

@@ -71,7 +71,14 @@ def test_compression_roundtrip(tmp_path):
 def _zarr_available():
     import importlib.util
 
-    return importlib.util.find_spec("zarr") is not None
+    try:
+        spec = importlib.util.find_spec("zarr")
+    except ValueError:
+        # tests/reference_import.py installs a STUB sys.modules["zarr"]
+        # (spec-less) so the reference package can import; that stub is not
+        # a readable zarr implementation.
+        return False
+    return spec is not None and getattr(spec, "origin", None) is not None
 
 
 @pytest.mark.skipif(not _zarr_available(), reason="zarr not installed")
