@@ -77,19 +77,27 @@ def main():
 
     dirs = {exp: run_one(exp, args) for exp in EXPS}
 
-    print("\n== A/B summary (same data, seed, schedule) ==")
+    # Align on the common tick range: an interrupted leg (the trainer's
+    # signal handler checkpoints and exits at the next tick) still yields a
+    # valid trajectory comparison over the ticks both legs completed.
+    stats = {e: load_rows(os.path.join(dirs[e], "stats.jsonl")) for e in EXPS}
+    vals = {e: load_rows(os.path.join(dirs[e], "val_stats.jsonl"))
+            for e in EXPS}
+    n_tick = min(len(s) for s in stats.values())
+    n_val = min(len(v) for v in vals.values())
+
+    print(f"\n== A/B summary (same data, seed, schedule; "
+          f"common ticks 0..{n_tick - 1}) ==")
     for exp in EXPS:
-        stats = load_rows(os.path.join(dirs[exp], "stats.jsonl"))
-        vals = load_rows(os.path.join(dirs[exp], "val_stats.jsonl"))
         losses = [
             round(
                 (r["train/loss"]["mean"]
                  if isinstance(r.get("train/loss"), dict)
                  else r.get("train/loss")), 4)
-            for r in stats
+            for r in stats[exp][:n_tick]
         ]
         print(f"{exp}: per-tick train loss {losses}")
-        for r in vals:
+        for r in vals[exp][:n_val]:
             # rows: {"val/tick": t, "val/rmse": agg, "val/rmse/<var>": [per-day]}
             per_var = {
                 k.replace("val/rmse/", ""): [round(float(x), 4) for x in v]
@@ -99,6 +107,12 @@ def main():
             print(f"  val@tick={r.get('val/tick')}: "
                   f"agg={round(float(r.get('val/rmse', float('nan'))), 4)} "
                   f"{per_var}")
+    aggs = {
+        e: [round(float(r.get("val/rmse", float("nan"))), 4)
+            for r in vals[e][:n_val]]
+        for e in EXPS
+    }
+    print(f"\nagg val-RMSE trajectories: {json.dumps(aggs)}")
 
 
 if __name__ == "__main__":
