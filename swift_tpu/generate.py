@@ -58,6 +58,10 @@ parser.add_argument("--int8", action="store_true",
                     "forecast (2x MXU rate on v5e+). Accuracy-affecting: "
                     "opt-in until a real-data RMSE/CRPS A/B blesses it "
                     "(tests/test_quant.py gates it on synthetic forecasts).")
+parser.add_argument("--output", type=str, default=None,
+                    help="Output directory (default: "
+                    "<input>/output/<checkpoint>/). Lets two runs from the "
+                    "same checkpoint coexist, e.g. an fp-vs-int8 A/B.")
 parser.add_argument("--pp-micro", type=int, default=None,
                     help="Microbatches per pipeline round-trip (default: PP; "
                     "more microbatches shrink the (PP-1)/(M+PP-1) bubble; "
@@ -219,7 +223,7 @@ def main(args):
         mesh = make_mesh(("data",))
     log0(f"Mesh: {mesh}")
 
-    odir = os.path.join(args.input, "output", ckpt_basename)
+    odir = args.output or os.path.join(args.input, "output", ckpt_basename)
     os.makedirs(odir, exist_ok=True)
     filename = (
         f"output-{len(subset)}i-{args.steps}s-{args.members}m-{args.interval}h"

@@ -437,21 +437,35 @@ class WindowAttention(nn.Module):
         )
         if use_pallas and not jvp and self.mesh is None:
             # wo matmul + post-norm + residual in one kernel (the matmul
-            # output never reaches HBM; reference :211).
+            # output never reaches HBM; reference :211). With quant="int8"
+            # the projection rides the MXU's 2x int8 rate like qkv/FFN.
             from swift_tpu.ops.pallas_modnorm import (
                 fused_matmul_modnorm_residual,
+                fused_matmul_modnorm_residual_int8,
             )
 
+            mm_mn = (
+                fused_matmul_modnorm_residual_int8
+                if self.quant == "int8"
+                else fused_matmul_modnorm_residual
+            )
             # NOTE: named mod_* to avoid shadowing the window-shift row `sh`
             # unpacked above (ADVICE r2).
             mod_g, mod_b, mod_scale, mod_shift = norm(None, t, pieces=True)
             try:
-                return fused_matmul_modnorm_residual(
+                return mm_mn(
                     out.astype(self.dtype), k_wo, x, mod_g, mod_b, mod_scale, mod_shift
                 )
             except ValueError:
                 pass
-        out = jnp.dot(out.astype(self.dtype), k_wo.astype(self.dtype))
+        if self.quant == "int8" and not jvp:
+            # jnp mirror of the int8 epilogue's matmul (same quantization
+            # points) — the CPU path for quant="int8".
+            from swift_tpu.ops.quant import int8_matmul
+
+            out = int8_matmul(out, k_wo).astype(self.dtype)
+        else:
+            out = jnp.dot(out.astype(self.dtype), k_wo.astype(self.dtype))
         # row-parallel wo: output replicated over model after XLA's psum.
         out = _wsc(out, self.mesh, self.data_axis, None, None, None)
         # post-norm + the block's residual add, fused (reference :211)

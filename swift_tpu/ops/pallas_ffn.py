@@ -15,8 +15,13 @@ Flagship sizes: Wg/Wu (1056, 2816) + W2 (2816, 1056) in bf16 ≈ 17.8 MB of
 VMEM — fits v5e VMEM with room for the streamed tiles.
 
 Reverse-mode: custom_vjp whose backward is a single fused pallas pass
-(gate/up recomputed in VMEM, weight grads accumulated in fp32 VMEM across
-token tiles — see _ffn_bwd_kernel). Forward-mode (the sCM jvp branch):
+(weight grads accumulated in fp32 VMEM across token tiles). Two backward
+variants, routed by token count (_bwd_save_acts): up to
+SWIFT_FFN_BWD_SAVE_MAX_TOKENS the fwd RULE emits gate/up and the backward
+reads them from HBM (6 MXU matmuls — under per-pair remat the residuals
+are live for one pair only); past it the backward recomputes gate/up in
+VMEM (8 matmuls, zero extra HBM — the 0.25° memory regime, see
+_ffn_bwd_kernel). Forward-mode (the sCM jvp branch):
 ``fused_swiglu_ffn(..., jvp=True)`` carries a custom_jvp whose rule is the
 combined primal+tangent kernel; FeedForward routes jvp=True here only on
 large grids (small grids measured faster on the jnp path — PERF.md ledger).
@@ -90,6 +95,146 @@ def _ffn_call(x2, wg, wu, w2):
             transcendentals=T * H,
         ),
     )(x2, wg, wu, w2)
+
+
+def _ffn_fwd_save_kernel(x_ref, wg_ref, wu_ref, w2_ref,
+                         o_ref, g_ref, u_ref):
+    """Forward that also emits gate/up (bf16) for the saved-activation
+    backward. Runs only inside a remat'd backward segment (the custom_vjp
+    fwd rule), so the extra (T, H) outputs are live for one block pair at
+    a time, not across the layer scan."""
+    x = x_ref[...]
+    g = jnp.dot(x, wg_ref[...], preferred_element_type=jnp.float32)
+    u = jnp.dot(x, wu_ref[...], preferred_element_type=jnp.float32)
+    g_ref[...] = g.astype(g_ref.dtype)
+    u_ref[...] = u.astype(u_ref.dtype)
+    h = (jax.nn.silu(g) * u).astype(x.dtype)
+    o_ref[...] = jnp.dot(
+        h, w2_ref[...], preferred_element_type=jnp.float32
+    ).astype(o_ref.dtype)
+
+
+def _ffn_fwd_save_call(x2, wg, wu, w2):
+    T, D = x2.shape
+    H = wg.shape[1]
+    bt = min(_pick_block(T), int(os.environ.get("SWIFT_FFN_BWD_BT", "512")))
+    tok = lambda n: pl.BlockSpec((bt, n), lambda i: (i, 0),
+                                 memory_space=pltpu.VMEM)
+    const = lambda s: pl.BlockSpec(s, lambda i: (0, 0),
+                                   memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        _ffn_fwd_save_kernel,
+        grid=(T // bt,),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=110 * 1024 * 1024,
+        ),
+        in_specs=[tok(D), const((D, H)), const((D, H)), const((H, D))],
+        out_specs=[tok(D), tok(H), tok(H)],
+        out_shape=[
+            jax.ShapeDtypeStruct((T, D), x2.dtype),
+            # saved in the compute dtype: bf16 in training (the kernels
+            # compute g/u in fp32 and the bwd re-expands to fp32 — the
+            # rounding matches the bf16 MXU noise everywhere else), fp32
+            # for fp32 callers (exact).
+            jax.ShapeDtypeStruct((T, H), x2.dtype),
+            jax.ShapeDtypeStruct((T, H), x2.dtype),
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=2 * T * D * H * 3,
+            bytes_accessed=(2 * T * D + 3 * D * H) * x2.dtype.itemsize
+            + 4 * T * H,
+            transcendentals=T * H,
+        ),
+    )(x2, wg, wu, w2)
+
+
+def _ffn_bwd_saved_kernel(x_ref, dy_ref, g_ref, u_ref, wg_ref, wu_ref,
+                          w2_ref, dx_ref, dwg_ref, dwu_ref, dw2_ref):
+    """FFN backward with gate/up read from HBM instead of recomputed: 6
+    MXU matmuls vs the recompute kernel's 8. The extra (T, 2H) bf16 HBM
+    read is ~1 ms/site at the flagship grid vs ~5 ms of saved matmul time
+    (PERF.md r4 ledger)."""
+    i = pl.program_id(0)
+    x = x_ref[...]
+    dy = dy_ref[...]
+    g = g_ref[...].astype(jnp.float32)
+    u = u_ref[...].astype(jnp.float32)
+    sig = jax.nn.sigmoid(g)
+    sg = g * sig
+    h = (sg * u).astype(x.dtype)
+    dh = jax.lax.dot_general(
+        dy, w2_ref[...], (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    dg = (dh * u * (sig * (1 + g * (1 - sig)))).astype(x.dtype)
+    du = (dh * sg).astype(x.dtype)
+    dx = (
+        jax.lax.dot_general(dg, wg_ref[...], (((1,), (1,)), ((), ())),
+                            preferred_element_type=jnp.float32)
+        + jax.lax.dot_general(du, wu_ref[...], (((1,), (1,)), ((), ())),
+                              preferred_element_type=jnp.float32)
+    )
+    dx_ref[...] = dx.astype(dx_ref.dtype)
+
+    dwg_c = jax.lax.dot_general(x, dg, (((0,), (0,)), ((), ())),
+                                preferred_element_type=jnp.float32)
+    dwu_c = jax.lax.dot_general(x, du, (((0,), (0,)), ((), ())),
+                                preferred_element_type=jnp.float32)
+    dw2_c = jax.lax.dot_general(h, dy, (((0,), (0,)), ((), ())),
+                                preferred_element_type=jnp.float32)
+
+    @pl.when(i == 0)
+    def _init():
+        dwg_ref[...] = dwg_c
+        dwu_ref[...] = dwu_c
+        dw2_ref[...] = dw2_c
+
+    @pl.when(i > 0)
+    def _acc():
+        dwg_ref[...] += dwg_c
+        dwu_ref[...] += dwu_c
+        dw2_ref[...] += dw2_c
+
+
+def _ffn_bwd_saved_call(x2, dy2, g, u, wg, wu, w2):
+    T, D = x2.shape
+    H = wg.shape[1]
+    bt = min(_pick_block(T), int(os.environ.get("SWIFT_FFN_BWD_BT", "512")))
+    tok = lambda n: pl.BlockSpec((bt, n), lambda i: (i, 0),
+                                 memory_space=pltpu.VMEM)
+    const = lambda s: pl.BlockSpec(s, lambda i: (0, 0),
+                                   memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        _ffn_bwd_saved_kernel,
+        grid=(T // bt,),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=120 * 1024 * 1024,
+        ),
+        in_specs=[tok(D), tok(D), tok(H), tok(H), const((D, H)),
+                  const((D, H)), const((H, D))],
+        out_specs=[tok(D), const((D, H)), const((D, H)), const((H, D))],
+        out_shape=[
+            jax.ShapeDtypeStruct((T, D), x2.dtype),
+            jax.ShapeDtypeStruct((D, H), jnp.float32),
+            jax.ShapeDtypeStruct((D, H), jnp.float32),
+            jax.ShapeDtypeStruct((H, D), jnp.float32),
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=2 * T * D * H * 6,
+            bytes_accessed=(4 * T * D + 6 * D * H) * x2.dtype.itemsize
+            + 4 * T * H,
+            transcendentals=T * H,
+        ),
+    )(x2, dy2, g, u, wg, wu, w2)
+
+
+def _bwd_save_acts(T: int) -> bool:
+    """Saved-activation backward routing: ON up to a token budget. The
+    (T, 2H) bf16 gate/up residuals are live for one remat'd block pair —
+    ~0.4 GB/site at the 1.4° flagship batch (plentiful) but ~0.8 GB/site
+    at 0.25° B=1, where the single-chip sCM fit has no slack (PERF.md),
+    so the big grid keeps the recompute kernel."""
+    return T <= int(os.environ.get("SWIFT_FFN_BWD_SAVE_MAX_TOKENS", "65536"))
 
 
 def _ffn_bwd_kernel(x_ref, dy_ref, wg_ref, wu_ref, w2_ref,
@@ -184,12 +329,20 @@ def _fused_swiglu(x2, wg, wu, w2):
 
 
 def _fused_swiglu_fwd(x2, wg, wu, w2):
-    return _ffn_call(x2, wg, wu, w2), (x2, wg, wu, w2)
+    if _bwd_save_acts(x2.shape[0]):
+        y, g, u = _ffn_fwd_save_call(x2, wg, wu, w2)
+        return y, (x2, g, u, wg, wu, w2)
+    return _ffn_call(x2, wg, wu, w2), (x2, None, None, wg, wu, w2)
 
 
 def _fused_swiglu_bwd(res, dy):
-    x2, wg, wu, w2 = res
-    dx, dwg, dwu, dw2 = _ffn_bwd_call(x2, dy.astype(x2.dtype), wg, wu, w2)
+    x2, g, u, wg, wu, w2 = res
+    if g is None:
+        dx, dwg, dwu, dw2 = _ffn_bwd_call(
+            x2, dy.astype(x2.dtype), wg, wu, w2)
+    else:
+        dx, dwg, dwu, dw2 = _ffn_bwd_saved_call(
+            x2, dy.astype(x2.dtype), g, u, wg, wu, w2)
     return (dx, dwg.astype(wg.dtype), dwu.astype(wu.dtype),
             dw2.astype(w2.dtype))
 

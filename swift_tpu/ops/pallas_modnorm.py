@@ -333,6 +333,106 @@ def _fused_mm_mn_bwd(eps, tps, res, dy):
 _fused_mm_mn.defvjp(_fused_mm_mn_fwd, _fused_mm_mn_bwd)
 
 
+# ---------------------------------------------------------------------------
+# int8 variant of the wo+modnorm epilogue (PERF.md lever (e) follow-up): with
+# quant="int8" the qkv/FFN matmuls already run int8 — this makes the output
+# projection the same, so the whole projection chain rides the MXU's 2x int8
+# rate. Same quantization scheme as ops/quant.py (per-token activation scales
+# in-kernel, per-column weight scales hoisted by the caller). Inference-only:
+# no vjp/jvp rules by design.
+
+
+def _mm_mn_q_kernel(x_ref, wq_ref, sw_ref, r_ref, g_ref, b_ref, ms_ref,
+                    mb_ref, o_ref, *, eps):
+    x = x_ref[...].astype(jnp.float32)
+    sx = jnp.maximum(jnp.max(jnp.abs(x), -1, keepdims=True), 1e-30) * (
+        1.0 / 127.0
+    )
+    xq = jnp.clip(jnp.round(x / sx), -127.0, 127.0).astype(jnp.int8)
+    y = jax.lax.dot_general(
+        xq, wq_ref[...], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.int32,
+    ).astype(jnp.float32) * sx * sw_ref[...]
+    mu = jnp.mean(y, -1, keepdims=True)
+    var = jnp.mean(y * y, -1, keepdims=True) - mu * mu
+    yn = (y - mu) * jax.lax.rsqrt(var + eps)
+    ln = yn * g_ref[0].astype(jnp.float32) + b_ref[0].astype(jnp.float32)
+    out = ln * (1.0 + ms_ref[0, 0].astype(jnp.float32)) + mb_ref[0, 0].astype(
+        jnp.float32
+    )
+    o_ref[...] = (out + r_ref[...].astype(jnp.float32)).astype(o_ref.dtype)
+
+
+def fused_matmul_modnorm_residual_int8(x, w, residual, g, b, mod_scale,
+                                       mod_shift, eps=1e-6):
+    """int8 ``residual + modnorm(x @ w)`` — dynamic per-token activation
+    scales in-kernel, per-column weight scales outside (loop-invariant ->
+    hoisted out of the solver scan). Same contract as
+    ``fused_matmul_modnorm_residual``; inference-only (no vjp/jvp)."""
+    import math
+
+    from swift_tpu.ops.quant import quantize_colwise
+
+    B = x.shape[0]
+    F = x.shape[-1]
+    D = w.shape[1]
+    tps = 1
+    for s in x.shape[1:-1]:
+        tps *= s
+    x2 = x.reshape(-1, F)
+    T = x2.shape[0]
+    bt = _pick_block(math.gcd(T, tps))
+    if bt == 0:
+        raise ValueError(f"token count {T} does not tile")
+    per = tps // bt
+    wq, sw = quantize_colwise(w)
+    r2 = residual.reshape(-1, D).astype(residual.dtype)
+    msc = mod_scale.astype(x.dtype)
+    msh = mod_shift.astype(x.dtype)
+    out = pl.pallas_call(
+        functools.partial(_mm_mn_q_kernel, eps=eps),
+        grid=(T // bt,),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
+        in_specs=[
+            pl.BlockSpec((bt, F), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((F, D), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, D), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((bt, D), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, D), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, D), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, D), lambda i: (i // per, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, D), lambda i: (i // per, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((bt, D), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((T, D), residual.dtype),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * T * F * D + 10 * T * D,
+            bytes_accessed=T * F * x.dtype.itemsize
+            + 2 * T * D * residual.dtype.itemsize + F * D,
+            transcendentals=0,
+        ),
+    )(x2, wq, sw, r2, g.reshape(1, D), b.reshape(1, D),
+      msc.reshape(-1, 1, D), msh.reshape(-1, 1, D))
+    return out.reshape(residual.shape)
+
+
+def reference_matmul_modnorm_residual_int8(x, w, residual, g, b, mod_scale,
+                                           mod_shift, eps=1e-6):
+    """jnp mirror of the int8 epilogue kernel: identical quantization
+    points (per-token x, per-column w), XLA ops — the CPU path and the
+    numerics oracle for the kernel test."""
+    from swift_tpu.ops.quant import int8_matmul
+
+    y = int8_matmul(x, w)
+    return reference_modnorm_residual(y, residual, g, b, mod_scale,
+                                      mod_shift, eps)
+
+
 def fused_matmul_modnorm_residual(x, w, residual, g, b, mod_scale, mod_shift,
                                   eps=1e-6):
     """``residual + modnorm(x @ w)`` in one kernel (weights VMEM-resident,

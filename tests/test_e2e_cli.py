@@ -60,10 +60,12 @@ def test_pretrain_generate_evaluate(workdir):
         ofile = gen_cli.main(gen_cli.parser.parse_args([
             "--input", str(run), "--members", "2", "--steps", "2",
             "--batch", "2", "--samples", "2", "--interval", "6",
+            "--output", str(run / "output" / "fp"),
         ]))
     finally:
         os.chdir(cwd)
     assert os.path.exists(ofile)
+    assert os.path.dirname(ofile) == str(run / "output" / "fp")
 
     from swift_tpu.data.era5 import ERA5Dataset
     from swift_tpu.data.h52zarr import build_truth_zarr

@@ -39,7 +39,11 @@ def test_forward_matches_reference():
                                rtol=2e-3, atol=2e-3)
 
 
-def test_backward_matches_reference():
+@pytest.mark.parametrize("save_max", ["0", str(10**9)])
+def test_backward_matches_reference(save_max, monkeypatch):
+    """Both backward variants: save_max=0 forces the recompute kernel,
+    the huge threshold forces the saved-gate/up kernel (r4 lever)."""
+    monkeypatch.setenv("SWIFT_FFN_BWD_SAVE_MAX_TOKENS", save_max)
     x, w1, w2 = _inputs(1)
 
     def loss_p(x, w1, w2):
@@ -50,6 +54,28 @@ def test_backward_matches_reference():
 
     gp = jax.grad(loss_p, argnums=(0, 1, 2))(x, w1, w2)
     gr = jax.grad(loss_r, argnums=(0, 1, 2))(x, w1, w2)
+    for a, b, name in zip(gp, gr, ["dx", "dw1", "dw2"]):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=5e-3, atol=5e-3, err_msg=name)
+
+
+def test_backward_saved_acts_under_remat():
+    """jax.checkpoint around the saved-acts path: the fwd rule (and its
+    gate/up residuals) must live inside the rematerialized backward
+    segment and still produce reference gradients — the exact composition
+    the trainer runs (per-pair remat over the layer scan)."""
+    x, w1, w2 = _inputs(6)
+
+    @jax.checkpoint
+    def blk(x, w1, w2):
+        return pf.fused_swiglu_ffn(x, w1, w2)
+
+    gp = jax.grad(lambda *a: jnp.sum(blk(*a) ** 2), argnums=(0, 1, 2))(
+        x, w1, w2)
+    gr = jax.grad(
+        lambda *a: jnp.sum(pf.reference_swiglu_ffn(*a) ** 2),
+        argnums=(0, 1, 2),
+    )(x, w1, w2)
     for a, b, name in zip(gp, gr, ["dx", "dw1", "dw2"]):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=5e-3, atol=5e-3, err_msg=name)

@@ -137,6 +137,31 @@ def test_fused_matmul_modnorm_residual_matches():
                                    rtol=2e-4, atol=2e-4)
 
 
+def test_fused_matmul_modnorm_residual_int8_matches_mirror():
+    """int8 wo+modnorm epilogue kernel == the jnp mirror (identical
+    quantization points: per-token x, per-column w), and both land within
+    dynamic-int8 error of the fp composition."""
+    ks = jax.random.split(jax.random.PRNGKey(7), 7)
+    B, N, F, D = 2, 64, 40, 48
+    x = jax.random.normal(ks[0], (B, N, F), jnp.float32)
+    w = 0.1 * jax.random.normal(ks[1], (F, D), jnp.float32)
+    r = jax.random.normal(ks[2], (B, N, D), jnp.float32)
+    g = 1.0 + 0.1 * jax.random.normal(ks[3], (D,), jnp.float32)
+    b = 0.1 * jax.random.normal(ks[4], (D,), jnp.float32)
+    msc = 0.2 * jax.random.normal(ks[5], (B, D), jnp.float32)
+    msh = 0.2 * jax.random.normal(ks[6], (B, D), jnp.float32)
+
+    out = pm.fused_matmul_modnorm_residual_int8(x, w, r, g, b, msc, msh)
+    mirror = pm.reference_matmul_modnorm_residual_int8(
+        x, w, r, g, b, msc, msh)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(mirror),
+                               rtol=1e-4, atol=1e-4)
+    fp = pm.reference_modnorm_residual(jnp.dot(x, w), r, g, b, msc, msh)
+    rel = np.linalg.norm(np.asarray(out) - np.asarray(fp)) / np.linalg.norm(
+        np.asarray(fp))
+    assert rel < 0.02, f"int8 epilogue deviates {rel:.4f} rel from fp"
+
+
 def test_jvp_variant_matches_reference():
     """jax.jvp through the jvp-capable entry: tangents flow through y,
     residual AND the AdaLN scale/shift rows (Dense(t) under the sCM jvp);
