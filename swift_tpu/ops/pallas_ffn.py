@@ -230,11 +230,13 @@ def _ffn_bwd_saved_call(x2, dy2, g, u, wg, wu, w2):
 
 def _bwd_save_acts(T: int) -> bool:
     """Saved-activation backward routing: ON up to a token budget. The
-    (T, 2H) bf16 gate/up residuals are live for one remat'd block pair —
-    ~0.4 GB/site at the 1.4° flagship batch (plentiful) but ~0.8 GB/site
-    at 0.25° B=1, where the single-chip sCM fit has no slack (PERF.md),
-    so the big grid keeps the recompute kernel."""
-    return T <= int(os.environ.get("SWIFT_FFN_BWD_SAVE_MAX_TOKENS", "65536"))
+    (T, 2H) bf16 gate/up residuals are live for one remat'd block pair.
+    Default 131072 tokens covers the 1.4° flagship train batch exactly
+    (B=16 x 64x128 tokens; measured on chip: FFN bwd 236 -> 183 ms/site,
+    train step 2.129 -> 2.029 s, PERF.md r4) while the 0.25° B=1 grid
+    (364x720 = 262080 tokens), where the single-chip sCM fit has no
+    slack, keeps the recompute kernel."""
+    return T <= int(os.environ.get("SWIFT_FFN_BWD_SAVE_MAX_TOKENS", "131072"))
 
 
 def _ffn_bwd_kernel(x_ref, dy_ref, wg_ref, wu_ref, w2_ref,
