@@ -93,8 +93,13 @@ class _XarraySource:
 
 def open_source(path: str, variables: list[str]):
     try:
-        import xarray  # noqa: F401
+        import xarray
 
+        # a stub module under the "xarray" name (e.g. the placeholder the
+        # reference-parity test harness installs so the reference imports)
+        # is not a usable reader — fall through to the zarr_lite source.
+        if not hasattr(xarray, "open_zarr"):
+            raise ImportError("xarray present but not functional")
         return _XarraySource(path, variables)
     except ImportError:
         return _ZarrLiteSource(path, variables)
