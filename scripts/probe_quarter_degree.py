@@ -29,6 +29,7 @@ from swift_tpu.parallel.sharding import crop_lat, pad_lat_to_grid
 def main():
     B = int(sys.argv[1]) if len(sys.argv) > 1 else 1
     hd128 = "hd128" in sys.argv[2:]
+    int8 = "int8" in sys.argv[2:]
     H_RAW, W = 721, 1440
     C, F = 69, 3
     PATCH, WIN = 2, 16
@@ -37,7 +38,7 @@ def main():
         window_size=(WIN, WIN), shift_size=(8, 8), patch_size=(PATCH, PATCH),
         depth=12, dim=1056, heads=8 if hd128 else 12,
         head_dim=128 if hd128 else None, auxiliary_dim=1, logvar=True,
-        dtype=jnp.bfloat16,
+        dtype=jnp.bfloat16, quant="int8" if int8 else None,
     )
     pre = PassPrecond(
         model=model, img_resolution=(736, W), img_channels=C,
