@@ -39,6 +39,18 @@ def test_forward_matches_reference():
                                rtol=2e-3, atol=2e-3)
 
 
+def test_bwd_save_routing_boundary(monkeypatch):
+    """The default token budget rides the saved-activation backward at the
+    1.4° flagship train batch (16 x 64x128 = 131072 tokens, measured win:
+    FFN bwd 236 -> 183 ms/site) but keeps the recompute kernel at the
+    memory-tight 0.25° B=1 grid (364x720 = 262080 tokens). PERF.md r4."""
+    monkeypatch.delenv("SWIFT_FFN_BWD_SAVE_MAX_TOKENS", raising=False)
+    from swift_tpu.ops.pallas_ffn import _bwd_save_acts
+
+    assert _bwd_save_acts(16 * 64 * 128)
+    assert not _bwd_save_acts(364 * 720)
+
+
 @pytest.mark.parametrize("save_max", ["0", str(10**9)])
 def test_backward_matches_reference(save_max, monkeypatch):
     """Both backward variants: save_max=0 forces the recompute kernel,
