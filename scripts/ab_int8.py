@@ -57,6 +57,12 @@ def ensure_trained(args) -> str:
         "trainer.val_ticks=null",
         "trainer.lr_rampup_kimg=1",
     ]
+    # a previous partial run (e.g. a cut session) leaves intermediate
+    # checkpoints; resume in place instead of restarting from scratch.
+    ckpt_dir = os.path.join(out_dir, "checkpoints")
+    if not args.force and os.path.isdir(ckpt_dir) and os.listdir(ckpt_dir):
+        print(f"[int8-ab] resuming partial run {out_dir}", flush=True)
+        cmd.append(f"resume={run_id}")
     print(f"[int8-ab] {' '.join(cmd[2:])}", flush=True)
     subprocess.run(cmd, check=True, cwd=REPO, env=env)
     return out_dir

@@ -62,7 +62,10 @@ def resume_setup(cfg: dict, run_dir: str):
     if is_main_process():
         src = os.path.join(prev, ".hydra")
         dst = os.path.join(run_dir, ".hydra")
-        if os.path.isdir(src):
+        # in-place resume (RUN_ID == resume id) copies onto itself — skip.
+        if os.path.isdir(src) and not os.path.samefile(
+            os.path.dirname(src), os.path.dirname(dst)
+        ):
             shutil.copytree(src, dst, dirs_exist_ok=True)
 
     # run-control flags always come from the CURRENT invocation, not the

@@ -84,6 +84,13 @@ def test_resume_continues(workdir):
     ck = run1 / "checkpoints" / "checkpoint-000002.npz"
     assert ck.exists(), os.listdir(run1 / "checkpoints")
 
+    # in-place resume (RUN_ID == resume id): a cut run continues in the
+    # same directory instead of restarting (used by scripts/ab_int8.py).
+    run1b = _train(workdir, "r1", "resume=r1", "trainer.total_kimg=3")
+    assert run1b == run1
+    ck3 = run1 / "checkpoints" / "checkpoint-000003.npz"
+    assert ck3.exists(), os.listdir(run1 / "checkpoints")
+
 
 def test_multistep_finetune(workdir):
     _train(workdir, "f0")

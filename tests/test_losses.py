@@ -263,3 +263,54 @@ def test_scm_staged_jvp_matches_monolithic():
                     jax.tree_util.tree_leaves(g1)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=1e-5, atol=1e-7)
+
+
+def test_scm_linearized_matches_value_and_grad():
+    """scm_linearized_value_and_grad (the shared-primal 5x-fwd step) must
+    reproduce jax.value_and_grad(SCMLoss) — values AND parameter grads —
+    on the real model path (SwinV2 with scan+remat, logvar head)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from swift_tpu.models.precond import PassPrecond
+    from swift_tpu.models.swinv2 import SwinV2
+    from swift_tpu.training.linearized import scm_linearized_value_and_grad
+    from swift_tpu.training.loss import SCMLoss
+
+    H, W, C = 8, 16, 3
+    model = SwinV2(
+        img_resolution=(H, W), in_channels=2 * C, out_channels=C,
+        window_size=(2, 2), shift_size=(1, 1), patch_size=(2, 2),
+        depth=2, dim=24, heads=3, auxiliary_dim=1, logvar=True,
+        dtype=jnp.float32, use_pallas=False,
+    )
+    pre = PassPrecond(model=model, img_resolution=(H, W), img_channels=C,
+                      condition_channels=C, auxiliary_dim=1, sigma_data=1.0)
+    params = pre.init(jax.random.PRNGKey(0))
+    loss = SCMLoss(
+        precond=pre, lat_dim=H,
+        variables=("2m_temperature", "geopotential_500", "temperature_850"),
+        noise={"dist": "loguniform", "sigma_min": 0.02, "sigma_max": 200.0},
+        tangent_warmup_kimg=1,
+    )
+    x = jax.random.normal(jax.random.PRNGKey(1), (2, H, W, C))
+    cond = jax.random.normal(jax.random.PRNGKey(2), (2, H, W, C))
+    aux = jnp.full((2, 1), 0.6)
+    key = jax.random.PRNGKey(3)
+
+    def mono(p):
+        return loss(p, key, x, step=100.0, condition=cond, auxiliary=aux)
+
+    v0, g0 = jax.jit(jax.value_and_grad(mono))(params)
+    lin_vg = jax.jit(
+        lambda p: scm_linearized_value_and_grad(loss)(
+            p, key, x, jnp.float32(100.0), cond, aux
+        )
+    )
+    v1, g1 = lin_vg(params)
+    np.testing.assert_allclose(float(v0), float(v1), rtol=1e-6)
+    for a, b in zip(jax.tree_util.tree_leaves(g0),
+                    jax.tree_util.tree_leaves(g1)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-5, atol=1e-7)
