@@ -9,13 +9,21 @@ duplication, kept only because ``jax.jvp`` and ``jax.vjp`` build separate
 traces (reference loss.py:212-231 has the same duplication: a no-grad
 functorch jvp plus a DDP forward).
 
-``jax.linearize`` removes it: linearize f(params, x, t) ONCE (primal 1x,
-residuals saved at the remat boundaries), evaluate the linear tangent map at
-(0, v_x, v_t) for dF (1x), and ``jax.linear_transpose`` the SAME linear map
-for the parameter gradient (replay 1x + ~2x grad math) — 5x a forward
-total. The zero parameter tangent is a ``jnp.zeros_like`` broadcast, which
-XLA's algebraic simplifier folds out of the tangent pass, so the tangent
-costs only the (x, t) part.
+``jax.linearize`` removes it: linearize f(params, x, t) ONCE, evaluate the
+linear tangent map at (0, v_x, v_t) for dF, and ``jax.linear_transpose``
+the SAME linear map for the parameter gradient. The zero parameter tangent
+is a ``jnp.zeros_like`` broadcast, which XLA's algebraic simplifier folds
+out of the tangent pass, so the tangent costs only the (x, t) part.
+
+Flop accounting caveat: WITHOUT remat this is 5x a forward (primal 1x +
+tangent 1x + transpose ~3x... minus the saved duplicate primal), but the
+flagship needs remat (46 GB of activations otherwise), and under
+``jax.checkpoint`` BOTH the tangent evaluation and the transpose replay the
+primal per layer pair — nominally 6x, the same as the production step. The
+model's scan remat uses ``prevent_cse=False`` (swinv2.py:792), so XLA MAY
+CSE the tangent's replay with the primal pass where memory allows; whether
+that nets out ahead of the production step's faster pallas kernels is what
+scripts/probe_linearize_step.py measures.
 
 Constraint: every op on the path needs BOTH a jvp rule and a transpose rule
 for its tangent. The pallas kernels have either custom_jvp (tangent = an
