@@ -205,8 +205,17 @@ def main(args):
         sys_mesh = cfg.get("system", {}).get("mesh", {})
         axes = list(sys_mesh.get("axes", []))
         if "pipe" in axes:
-            sizes = sys_mesh.get("sizes", [])
+            sizes = list(sys_mesh.get("sizes", []))
+            if sizes and len(sizes) != len(axes):
+                raise ValueError(
+                    f"system.mesh sizes {sizes} does not match axes {axes}"
+                )
             pp = int(sizes[axes.index("pipe")]) if sizes else 2
+            if pp == -1:
+                # the 'remaining devices' convention (make_mesh / tpu-pp.yaml
+                # uses -1 on the data axis, but a config may put it on pipe).
+                rest = int(np.prod([s for s in sizes if s != -1]))
+                pp = jax.device_count() // rest
             if args.pp_micro is None:
                 args.pp_micro = (cfg.get("system", {}).get("pipeline", {})
                                  or {}).get("n_micro")

@@ -114,21 +114,46 @@ def get_mesh() -> Mesh:
 def shard_batch(batch, mesh: Optional[Mesh] = None, axis: str = "data"):
     """Device-put a host batch with the leading dim sharded over ``axis``.
 
-    ``batch`` is the GLOBAL batch: under multi-process (pod) execution every
-    process passes the same full-batch host array (the samplers are seeded
-    identically across ranks, replacing the reference's rank round-robin
-    sampler offsets) and only the rows owned by this process's devices are
-    materialized, via ``make_array_from_callback``.
+    ``batch`` is the process-LOCAL batch: under multi-process (pod)
+    execution each process passes only the rows its own sampler loaded
+    (``global_batch // process_count`` of them — the reference's rank
+    round-robin sampler contract, reference samplers.py/train.py) and the
+    global array is the concatenation of the per-process local batches in
+    ``axis``-order, assembled zero-copy via
+    ``jax.make_array_from_process_local_data``. Single-process: local ==
+    global. Every loaded row is used exactly once and the effective global
+    batch is ``sum(local batches)`` — per-rank loading feeds a true global
+    batch (r4 advisor, high).
     """
     mesh = mesh or get_mesh()
     multiprocess = jax.process_count() > 1
+    if multiprocess:
+        # global leading dim = local_rows * (data-axis size / #data-axis
+        # blocks that have a device on THIS process). For the standard
+        # batch-leading mesh layouts this is local_rows * process_count.
+        ax = mesh.axis_names.index(axis)
+        blocks = np.moveaxis(mesh.devices, ax, 0)
+        me = jax.process_index()
+        local_blocks = sum(
+            1 for i in range(blocks.shape[0])
+            if any(d.process_index == me for d in np.ravel(blocks[i]))
+        )
+        assert local_blocks and mesh.shape[axis] % local_blocks == 0, (
+            f"process {me} owns {local_blocks} of {mesh.shape[axis]} "
+            f"{axis!r}-axis blocks — uneven process layout"
+        )
+        scale = mesh.shape[axis] // local_blocks
 
     def put(x):
         x = np.asarray(x)
-        spec = P(axis, *([None] * (x.ndim - 1))) if x.ndim >= 1 else P()
+        if x.ndim == 0:
+            spec, gshape = P(), x.shape
+        else:
+            spec = P(axis, *([None] * (x.ndim - 1)))
+            gshape = (x.shape[0] * scale,) + x.shape[1:] if multiprocess else x.shape
         ns = NamedSharding(mesh, spec)
         if multiprocess:
-            return jax.make_array_from_callback(x.shape, ns, lambda idx: x[idx])
+            return jax.make_array_from_process_local_data(ns, x, gshape)
         return jax.device_put(x, ns)
 
     return jax.tree_util.tree_map(put, batch)

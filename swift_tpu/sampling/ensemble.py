@@ -158,6 +158,19 @@ class EnsembleRollout:
                 # the pad rows at flush. Waste = pad/(MB+pad), vs the old
                 # fallback's (D-1)/D fully-replicated compute.
                 pad = (-MB) % D
+                # parity of the real rows with an unpadded run relies on
+                # PREFIX-STABILITY of jax.random.normal draws across batch
+                # sizes (MB+pad vs MB rows from one key), which holds only
+                # for the partitionable threefry implementation. It is the
+                # default, but flippable via env/config — force it here so
+                # (base_seed, ic_start, step) determinism never depends on a
+                # global PRNG flag (r4 advisor).
+                if not jax.config.jax_threefry_partitionable:
+                    logger.warning(
+                        "forcing jax_threefry_partitionable=True: padded "
+                        "ensemble sharding requires prefix-stable draws"
+                    )
+                    jax.config.update("jax_threefry_partitionable", True)
                 logger.info(
                     f"member*ic batch {MB} padded to {MB + pad} to shard "
                     f"over {D} devices ({pad / (MB + pad):.0%} padded work)"

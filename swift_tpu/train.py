@@ -156,7 +156,14 @@ def main(argv=None):
     mesh_axes = tuple(cfg.get("system", {}).get("mesh", {}).get("axes", ["data"]))
     mesh_sizes = cfg.get("system", {}).get("mesh", {}).get("sizes")
     n_devices = jax.device_count()
-    if mesh_axes == ("data",) and mesh_sizes in (None, [-1], (-1,)):
+    if (
+        mesh_axes == ("data",)
+        and mesh_sizes in (None, [-1], (-1,))
+        # single-host dev-mesh guard only: under multi-process execution the
+        # global device order groups by process, so clamping to a devices[]
+        # prefix could strand a process with zero mesh devices.
+        and jax.process_count() == 1
+    ):
         # small-config guard: a global batch that does not divide the device
         # count (e.g. the tiny synthetic experiment on an 8-device dev mesh)
         # must not die in an opaque device_put error — clamp the data axis to

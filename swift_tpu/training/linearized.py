@@ -36,6 +36,7 @@ question per grid size — see scripts/probe_linearize_step.py and PERF.md.
 
 from __future__ import annotations
 
+import dataclasses
 from typing import Callable
 
 import jax
@@ -54,7 +55,24 @@ def scm_linearized_value_and_grad(loss: SCMLoss) -> Callable:
     randomness; tests/test_losses.py pins the equivalence). Distillation
     teachers are supported through ``loss._dxt_dt`` exactly as in the
     standard path.
+
+    The model is forced to the pure-jnp path here: the pallas kernels carry
+    either a custom_jvp (tangent not transposable) or a custom_vjp (not
+    forward-mode differentiable), so a pallas-routed model would fail at
+    trace inside ``jax.linearize`` (r4 advisor). A ``use_pallas`` auto/True
+    model is cloned with ``use_pallas=False``; callers keep their original
+    loss untouched.
     """
+    model = getattr(loss.precond, "model", None)
+    if model is not None and getattr(model, "use_pallas", False) is not False:
+        # None means auto (pallas on TPU) — force off unconditionally so the
+        # traced program is backend-independent.
+        loss = dataclasses.replace(
+            loss,
+            precond=dataclasses.replace(
+                loss.precond, model=model.clone(use_pallas=False)
+            ),
+        )
     sd = loss.sigma_data
     use_logvar = _has_logvar(loss.precond)
 

@@ -3,10 +3,15 @@
 The only runtime tier below real multi-host that can run on this machine
 (r3 VERDICT missing #5). Spawns two fresh interpreters that bootstrap via
 ``maybe_initialize_distributed`` (explicit-coordinator env contract), form
-one global 8-device mesh, run a real DP sCM train step on globally-sharded
-arrays, and exercise the process-0 store barrier from ``generate.py`` —
-the reference does the same over MPI (scripts/aurora-general.sh:58-96,
-generate.py:241-252).
+one global 8-device mesh, run a real DP sCM train step on per-rank LOCAL
+batches assembled into a global array (``shard_batch``), and exercise the
+process-0 store barrier from ``generate.py`` — the reference does the same
+over MPI (scripts/aurora-general.sh:58-96, generate.py:241-252).
+
+The 2-process loss is cross-checked against a single-process 8-device run
+of the SAME step on the full global batch, and a second test drives the
+real ``swift_tpu.train`` entry point (ShardedLoader + rank round-robin
+sampler) under 2 processes end to end (r4 advisor, high).
 """
 
 import os
@@ -26,43 +31,91 @@ def _free_port():
         return s.getsockname()[1]
 
 
-def test_two_process_dp_train_and_rank0_store(tmp_path):
-    port = _free_port()
+def _mp_env(port, n_proc=2, dev_per_proc=4):
     env = dict(
         os.environ,
         JAX_PLATFORMS="cpu",
-        XLA_FLAGS="--xla_force_host_platform_device_count=4",
+        XLA_FLAGS=f"--xla_force_host_platform_device_count={dev_per_proc}",
         SWIFT_COORDINATOR=f"localhost:{port}",
-        SWIFT_NUM_PROCESSES="2",
+        SWIFT_NUM_PROCESSES=str(n_proc),
         PYTHONPATH=REPO + os.pathsep + os.environ.get("PYTHONPATH", ""),
     )
     env.pop("SWIFT_NO_DIST_INIT", None)
-    worker = os.path.join(REPO, "tests", "_mp_worker.py")
+    return env
+
+
+def _run_ranks(cmd_for_rank, env, timeout=600):
     procs = []
     for rank in (0, 1):
         e = dict(env, SWIFT_PROCESS_ID=str(rank))
         procs.append(
             subprocess.Popen(
-                [sys.executable, worker, str(rank), str(tmp_path)],
-                env=e, stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
-                text=True,
+                cmd_for_rank(rank), env=e, stdout=subprocess.PIPE,
+                stderr=subprocess.STDOUT, text=True,
             )
         )
     outs = []
     for rank, p in enumerate(procs):
         try:
-            out, _ = p.communicate(timeout=600)
+            out, _ = p.communicate(timeout=timeout)
         except subprocess.TimeoutExpired:
             for q in procs:
                 q.kill()
             raise
         outs.append(out)
         assert p.returncode == 0, f"rank {rank} failed:\n{out}"
+    return outs
+
+
+def test_two_process_dp_train_and_rank0_store(tmp_path):
+    worker = os.path.join(REPO, "tests", "_mp_worker.py")
+    env = _mp_env(_free_port())
+    outs = _run_ranks(
+        lambda rank: [sys.executable, worker, str(rank), str(tmp_path)], env
+    )
     losses = []
     for rank, out in enumerate(outs):
-        m = re.search(r"MP_OK loss=([-\d.]+)", out)
+        m = re.search(r"MP_OK loss=([-+\d.e]+)", out)
         assert m, f"rank {rank} missing MP_OK:\n{out}"
         losses.append(float(m.group(1)))
     # the loss is a global (psum'd) scalar — both ranks must agree exactly
     assert losses[0] == losses[1], losses
     assert (tmp_path / "store_marker").exists()
+
+    # single-process 8-device reference on the full global batch: the
+    # 2-process local-batch assembly must compute the SAME step.
+    senv = dict(
+        os.environ,
+        JAX_PLATFORMS="cpu",
+        XLA_FLAGS="--xla_force_host_platform_device_count=8",
+        SWIFT_NO_DIST_INIT="1",
+        PYTHONPATH=REPO + os.pathsep + os.environ.get("PYTHONPATH", ""),
+    )
+    out = subprocess.run(
+        [sys.executable, worker, "single", str(tmp_path)],
+        env=senv, stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
+        text=True, timeout=600,
+    )
+    assert out.returncode == 0, out.stdout
+    m = re.search(r"MP_OK loss=([-+\d.e]+)", out.stdout)
+    assert m, out.stdout
+    import numpy as np
+
+    np.testing.assert_allclose(losses[0], float(m.group(1)), rtol=1e-5)
+
+
+def test_two_process_train_cli(tmp_path):
+    """The PRODUCT training path under 2 processes: swift_tpu.train with the
+    rank round-robin InfiniteSampler, per-rank local BatchLoader, and
+    ShardedLoader feeding shard_batch (r4 advisor, high)."""
+    worker = os.path.join(REPO, "tests", "_mp_train_worker.py")
+    env = _mp_env(_free_port())
+    outs = _run_ranks(
+        lambda rank: [sys.executable, worker, str(rank), str(tmp_path)],
+        env, timeout=900,
+    )
+    for rank, out in enumerate(outs):
+        assert "MP_TRAIN_OK" in out, f"rank {rank}:\n{out}"
+    run = tmp_path / "results" / "synthetic-tiny-scm" / "mp2"
+    assert (run / "checkpoints" / "checkpoint-000001.npz").exists()
+    assert (run / "stats.jsonl").exists()
