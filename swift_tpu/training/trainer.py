@@ -76,6 +76,15 @@ def lr_schedule(
                 1.0, (nimg - warmup_nimg) / max(total_nimg - warmup_nimg, 1)
             )
             post = min_lr + 0.5 * (base_lr - min_lr) * (1 + jnp.cos(jnp.pi * progress))
+        elif warmup_nimg > 0:
+            # the reference's if/elif (trainer.py:203-217) never touches the
+            # group lr again once warmup ends and annealing is off: the lr
+            # HOLDS at the value set by the LAST step with nimg < warmup —
+            # slightly below base_lr on the gb step grid (from-zero grid; a
+            # resume that lands mid-warmup off-grid shifts the held value by
+            # < gb/warmup relative).
+            last = (warmup_nimg - 1) // global_batch_size * global_batch_size
+            post = min_lr + (base_lr - min_lr) * (last / warmup_nimg)
         else:
             post = base_lr
         return jnp.where(nimg < warmup_nimg, warm, post)
@@ -163,6 +172,30 @@ def swin_flop_count(
     glu = 3 * nwindows * seqlen * ffn_hidden_size * hidden_size
     fwd = (qkvo + fa + glu) * depth + pre_post
     return int(6 * fwd)
+
+
+def clamp_grads(grads):
+    """NaN/Inf gradient defense: nan -> 0, ±inf -> ±1e5, elementwise
+    (reference trainer.py:223-231 — torch.nan_to_num with the same
+    constants). Applied to the raw grads before the optimizer update."""
+    return jax.tree_util.tree_map(
+        lambda g: jnp.nan_to_num(g, nan=0.0, posinf=1e5, neginf=-1e5), grads
+    )
+
+
+def ema_update(ema, params, nimg, global_batch_size,
+               ema_halflife_kimg, ema_rampup_ratio):
+    """EMA with half-life ramp-up (reference trainer.py:237-245):
+    halflife_nimg is capped at ``nimg * rampup`` (pre-increment nimg, the
+    images seen BEFORE this step), beta = 0.5^(batch/halflife), and
+    ema <- params + beta·(ema - params) — torch's ``lerp(ema, beta)``."""
+    halflife = ema_halflife_kimg * 1000
+    if ema_rampup_ratio is not None:
+        halflife = jnp.minimum(halflife, nimg * ema_rampup_ratio)
+    beta = 0.5 ** (global_batch_size / jnp.maximum(halflife, 1e-8))
+    return jax.tree_util.tree_map(
+        lambda e, p: p + beta * (e - p), ema, params
+    )
 
 
 # ----------------------------------------------------------------------------
@@ -288,7 +321,6 @@ class Trainer:
         loss_fn = self.loss_fn
         optimizer = self.optimizer
         gb = float(self.global_batch_size)
-        ema_halflife_nimg = self.ema_halflife_kimg * 1000
         rampup = self.ema_rampup_ratio
 
         accum = self.grad_accum
@@ -340,19 +372,14 @@ class Trainer:
                     state.params, batch, key
                 )
             # NaN/Inf defense (reference trainer.py:223-231).
-            grads = jax.tree_util.tree_map(
-                lambda g: jnp.nan_to_num(g, nan=0.0, posinf=1e5, neginf=-1e5), grads
-            )
+            grads = clamp_grads(grads)
             updates, opt_state = optimizer.update(grads, state.opt_state, state.params)
             params = optax.apply_updates(state.params, updates)
 
             # EMA half-life with ramp-up (reference trainer.py:237-245).
-            halflife = ema_halflife_nimg
-            if rampup is not None:
-                halflife = jnp.minimum(halflife, state.nimg * rampup)
-            beta = 0.5 ** (gb / jnp.maximum(halflife, 1e-8))
-            ema = jax.tree_util.tree_map(
-                lambda e, p: p + beta * (e - p), state.ema, params
+            ema = ema_update(
+                state.ema, params, state.nimg, gb,
+                self.ema_halflife_kimg, rampup,
             )
             new_state = TrainState(params, ema, opt_state, state.nimg + gb)
             gnorm = optax.global_norm(grads)

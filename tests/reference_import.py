@@ -69,8 +69,14 @@ def install_reference_stubs() -> None:
         ez.get_rank = lambda: 0
         ez.get_world_size = lambda: 1
         ez.get_local_rank = lambda: 0
-        ez.get_torch_device = lambda: "cpu"
+        ez.get_torch_device = lambda **k: "cpu"
         ez.get_torch_device_type = lambda: "cpu"
+
+        class _History:  # metric sink only (trainer.py:125, :437)
+            def update(self, *a, **k):
+                pass
+
+        ez.History = _History
         sys.modules["ezpz"] = ez
 
     if "hydra" not in sys.modules:
@@ -108,7 +114,11 @@ def install_reference_stubs() -> None:
             try:
                 importlib.import_module(name)
             except ImportError:
-                sys.modules[name] = _stub_module(name)
+                stub = _stub_module(name)
+                if name == "xarray":
+                    # trainer.py:309 uses xarray.Dataset as a type annotation
+                    stub.Dataset = type("Dataset", (), {})
+                sys.modules[name] = stub
 
     if "dask" not in sys.modules:
         try:
