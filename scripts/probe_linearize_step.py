@@ -111,12 +111,18 @@ def main():
         jax.block_until_ready(l)
         log(f"[{name}]   compile+1st: {time.perf_counter() - t0:.1f}s "
             f"loss={float(l):.4f}")
+        # sync + drop outputs every iteration: async dispatch would hold N
+        # copies of (params, opt_state) outputs at once, which OOMs the
+        # linearized step's larger working set (r5). Per-step sync overhead
+        # is ~ms against a ~2 s step.
+        del params2, opt2
         t0 = time.perf_counter()
         N = 3
         for i in range(N):
-            l, params2, opt2 = step(params, opt_state,
-                                    jax.random.PRNGKey(i), x, cond, aux)
-        jax.block_until_ready(l)
+            l, p2, o2 = step(params, opt_state,
+                             jax.random.PRNGKey(i), x, cond, aux)
+            jax.block_until_ready(l)
+            del p2, o2
         per = (time.perf_counter() - t0) / N
         log(f"[{name}] wall/step at B={BATCH}: {per:.3f} s")
         return per
