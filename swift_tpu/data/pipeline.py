@@ -52,8 +52,11 @@ class BatchLoader:
     Fast path: when ``use_pack`` (default auto) and ``<root>/<split>.pack``
     exists, single-step residual batches are assembled by the native C++
     loader (swift_tpu.native) — mmap gather + fused standardize/residual,
-    ~100x the per-sample h5 path. Multistep (offset>1) and non-residual
-    batches fall back to the h5 path.
+    ~100x the per-sample h5 path. Mixed-delta batches (sCM pretraining)
+    are served as one native sub-call per distinct delta. Multistep
+    (offset>1) and non-residual batches fall back to the h5 path. Missing
+    per-sample deltas are drawn once, in the producer thread, so the
+    sample stream is deterministic in the dataset seed either way.
     """
 
     def __init__(
@@ -94,9 +97,19 @@ class BatchLoader:
                 except Exception:
                     self._pack = None
 
-    def _pack_batch(self, specs) -> Optional[dict]:
-        """Native fused batch for uniform single-step specs; None -> h5 path."""
-        parsed = []
+    def _resolve_specs(self, specs):
+        """Normalize specs to (idx, offset, delta), drawing any missing
+        delta from the dataset RNG HERE — in the single-threaded producer,
+        in batch order. The h5 path used to leave the draw to
+        ``dataset[spec]`` inside the worker pool, where thread completion
+        order made the delta stream non-reproducible run-to-run (and the
+        old pack gate consumed a second set of draws before falling back);
+        one draw site makes the stream a pure function of the seed (r5).
+        Datasets without interval semantics pass through untouched."""
+        ds = self.dataset
+        if not hasattr(ds, "intervals") or getattr(ds, "_rng", None) is None:
+            return list(specs)
+        out = []
         for s in specs:
             if isinstance(s, tuple):
                 if len(s) == 3:
@@ -105,34 +118,45 @@ class BatchLoader:
                     (idx, off), delta = s, None
             else:
                 idx, off, delta = s, 1, None
-            if off != 1:
+            if delta is None:
+                delta = int(ds._rng.choice(ds.intervals))
+            out.append((int(idx), int(off), int(delta)))
+        return out
+
+    def _pack_batch(self, specs) -> Optional[dict]:
+        """Native fused batch for single-step resolved specs; None -> h5
+        path. The C++ kernel applies ONE t_std per call, so a mixed-delta
+        batch (the sCM pretraining case: delta drawn per sample) is served
+        as one sub-call per distinct delta (≤3) scattered back in batch
+        order — before r5 mixed batches silently fell back to the
+        per-sample h5 path (~20× slower end to end), so the fast path
+        never fired outside uniform-delta finetune."""
+        for s in specs:
+            if s[1] != 1:
                 return None
-            parsed.append((int(idx), delta))
         ds = self.dataset
-        rng = ds._rng
-        deltas = [
-            d if d is not None else int(rng.choice(ds.intervals))
-            for _, d in parsed
-        ]
-        # the C++ kernel applies ONE t_std; require a uniform batch delta
-        # (always true under DeltaBatchSampler; mixed-delta batches fall back).
-        if len(set(deltas)) != 1:
-            return None
-        delta = deltas[0]
-        idx = np.asarray([i for i, _ in parsed], np.int64)
-        x_out, t_out = self._pack.batch(
-            idx, idx + delta // 6, idx,
-            ds.x_means.reshape(-1), ds.x_stds.reshape(-1),
-            ds.t_stds[delta].reshape(-1), len(ds.variables),
-        )
-        if self._sst_idx is not None and delta != 24:
-            x_out[..., self._sst_idx] = 0
-            t_out[..., self._sst_idx] = 0
+        idx = np.asarray([i for i, _, _ in specs], np.int64)
+        deltas = np.asarray([d for _, _, d in specs], np.int64)
+        x_out = t_out = None
+        for delta in np.unique(deltas):
+            m = deltas == delta
+            xs, ts = self._pack.batch(
+                idx[m], idx[m] + int(delta) // 6, idx[m],
+                ds.x_means.reshape(-1), ds.x_stds.reshape(-1),
+                ds.t_stds[int(delta)].reshape(-1), len(ds.variables),
+            )
+            if self._sst_idx is not None and delta != 24:
+                xs[..., self._sst_idx] = 0
+                ts[..., self._sst_idx] = 0
+            if x_out is None:
+                x_out = np.empty((len(specs),) + xs.shape[1:], xs.dtype)
+                t_out = np.empty((len(specs),) + ts.shape[1:], ts.dtype)
+            x_out[m], t_out[m] = xs, ts
         return {
             "x": x_out,
             "t": t_out,
             "idx": idx.astype(np.int32),
-            "delta": np.full((len(idx), 1), delta / 10.0, np.float32),
+            "delta": (deltas.astype(np.float32) / 10.0).reshape(-1, 1),
         }
 
     def _load_one(self, spec):
@@ -150,6 +174,7 @@ class BatchLoader:
                 batch = []
 
     def _build_batch(self, specs, pool) -> dict:
+        specs = self._resolve_specs(specs)
         if self._pack is not None and self.multistep_forcings == 0:
             fast = self._pack_batch(specs)
             if fast is not None:

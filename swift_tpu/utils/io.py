@@ -33,13 +33,26 @@ def get_logger(name: str = "swift_tpu") -> logging.Logger:
 
 def setup_compilation_cache(path: str = None):
     """Enable jax's persistent compilation cache (big XLA programs take
-    minutes to compile; the cache makes repeat CLI invocations start hot)."""
+    minutes to compile; the cache makes repeat CLI invocations start hot).
+
+    The DEFAULT directory is scoped by backend: a session whose compiles
+    happen on a remote service (dev-tunnel TPU) also caches XLA:CPU
+    executables AOT-compiled with the REMOTE host's CPU features, and a
+    later local CPU process that loads one can die with SIGILL (jax's
+    cache key does not cover CPU machine features; observed killing one
+    rank of the 2-process CI test, r5). Backend-scoped subdirs keep those
+    entries where only same-backend sessions look. An explicit ``path`` /
+    ``SWIFT_COMPILE_CACHE`` is honored verbatim."""
     import jax
 
-    path = path or os.environ.get(
-        "SWIFT_COMPILE_CACHE",
-        os.path.join(os.path.expanduser("~"), ".cache", "swift_tpu_jax"),
-    )
+    path = path or os.environ.get("SWIFT_COMPILE_CACHE")
+    if path is None:
+        base = os.path.join(os.path.expanduser("~"), ".cache", "swift_tpu_jax")
+        try:
+            backend = jax.default_backend()
+        except Exception:
+            backend = "unknown"
+        path = os.path.join(base, backend)
     try:
         jax.config.update("jax_compilation_cache_dir", path)
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
