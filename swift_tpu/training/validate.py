@@ -82,6 +82,161 @@ def _rollout_rmse_scan(
     return agg, arr
 
 
+def _rollout_crps_scan(
+    param_sampler: Callable,  # (params, cond, key, auxiliary=None) -> Y
+    std: Standardizer,
+    params,
+    X0m: jnp.ndarray,  # (M*B, H, W, C) standardized, members tiled outer
+    forcings_seq: Optional[jnp.ndarray],  # (B, steps, H, W, F) standardized
+    targets: jnp.ndarray,  # (B, days+1, H, W, C) UNstandardized
+    w_lat: jnp.ndarray,  # (1, H, 1, 1)
+    key: jax.Array,
+    target_interval: int,
+    residual: bool,
+    members: int,
+    auxiliary=None,
+):
+    """Ensemble rollout scoring fair-kernel CRPS per day boundary.
+
+    Same recording schedule as ``_rollout_rmse_scan``; the CRPS formula is
+    the fair kernel score of ``eval/metrics.py:lat_weighted_crps``
+    (reference eval/metrics.py:68-105) evaluated on-device per channel, so
+    a per-tick CRPS trajectory costs no device->host trajectory transfer.
+    Members share the IC and differ only in latents (one PRNG key per step
+    drawn over the tiled M*B batch)."""
+    steps = target_interval
+    M = members
+    keys = jax.random.split(key, steps)
+    step_ids = np.arange(steps)
+    record = ((step_ids + 1) % NUM_INTERVAL_PER_DAY == 0) | (step_ids == 0)
+    day = (step_ids + 1) // NUM_INTERVAL_PER_DAY
+
+    xs = {
+        "key": keys,
+        "record": jnp.asarray(record),
+        "day": jnp.asarray(day, jnp.int32),
+    }
+    if forcings_seq is not None:
+        # member-major tiling to match X0m's (M, B) -> M*B row layout
+        fs = forcings_seq.swapaxes(0, 1)  # (steps, B, H, W, F)
+        xs["forcing"] = jnp.tile(fs, (1, M) + (1,) * (fs.ndim - 2))
+
+    B = X0m.shape[0] // M
+    C = X0m.shape[-1]
+    n_days = target_interval // NUM_INTERVAL_PER_DAY + 1
+    arr0 = jnp.zeros((C, n_days))
+    w_vec = w_lat.reshape(1, 1, -1, 1, 1)  # (1, 1, H, 1, 1) over (M,B,H,W,C)
+
+    def body(carry, s):
+        X, agg, arr = carry
+        cond = jnp.concatenate([X, s["forcing"]], axis=-1) if "forcing" in s else X
+        Y = param_sampler(params, cond, s["key"], auxiliary=auxiliary)
+
+        Y_un = std.unstd_t(Y)
+        if residual:
+            Y_un = std.unstd_x(cond)[..., : std.n_variables] + Y_un
+        pred = Y_un.reshape(M, B, *Y_un.shape[1:])  # (M, B, H, W, C)
+        T_un = jnp.take(targets, s["day"], axis=1)  # (B, H, W, C)
+
+        # fair kernel CRPS per channel (eval/metrics.py:61-75 semantics)
+        err = jnp.abs(pred - T_un[None]) * w_vec
+        err_c = err.mean(axis=(0, 1, 2, 3))  # (C,)
+        spread = jnp.abs(pred[:, None] - pred[None, :]) * w_vec[None]
+        # mean over (H, W), sum over member pairs, / 2M(M-1), mean over B
+        spread_c = spread.mean(axis=(3, 4)).sum(axis=(0, 1)) / (
+            2 * M * (M - 1)
+        )  # (B, C)
+        crps_c = err_c - spread_c.mean(axis=0)  # (C,)
+
+        agg = agg + jnp.where(s["record"], crps_c.mean(), 0.0)
+        arr = arr + jnp.where(
+            s["record"],
+            jnp.zeros_like(arr).at[:, s["day"]].set(crps_c),
+            0.0,
+        )
+
+        if residual:
+            X_next = std.std_x(Y_un)
+        else:
+            X_next = Y
+        return (X_next, agg, arr), None
+
+    (_, agg, arr), _ = jax.lax.scan(body, (X0m, jnp.float32(0.0), arr0), xs)
+    return agg, arr
+
+
+def CRPS_rollout(
+    param_sampler: Callable,
+    params,
+    batches,
+    dataset,
+    target_interval: int,
+    key: jax.Array,
+    members: int = 4,
+    num_batches: Optional[int] = None,
+    auxiliary=None,
+):
+    """Ensemble-CRPS analogue of ``RMSE_rollout`` (beyond-reference: the
+    reference's online val is RMSE-only, validate.py:23-127; its CRPS lives
+    only in offline eval). Returns (aggregate CRPS, per-channel-per-day
+    array) averaged over batches, with ``members`` latent draws per IC."""
+    assert members >= 2, "kernel CRPS needs at least 2 members"
+    std = Standardizer.from_dataset(dataset)
+    residual = getattr(dataset, "residual", False)
+    lat, _ = dataset.get_lat_lon()
+    w_lat = np.cos(np.deg2rad(lat))
+    w_lat = (w_lat / w_lat.mean()).reshape(1, -1, 1, 1).astype(np.float32)
+
+    agg_total = 0.0
+    arr_total = None
+    count = 0
+    jitted = jax.jit(
+        partial(_rollout_crps_scan, param_sampler, std),
+        static_argnames=("target_interval", "residual", "members"),
+    )
+    for X, TS, idx in batches:
+        forc = None
+        if dataset.forcings:
+            forc = np.stack(
+                [
+                    np.stack(
+                        [
+                            np.asarray(
+                                dataset.standardize_x(dataset.get_forcings(int(j) + i))
+                            )
+                            for i in range(target_interval)
+                        ],
+                        0,
+                    )
+                    for j in np.atleast_1d(idx)
+                ],
+                0,
+            ).astype(np.float32)
+        Xm = np.repeat(np.asarray(X)[None], members, axis=0).reshape(
+            members * X.shape[0], *X.shape[1:]
+        )
+        agg, arr = jitted(
+            params,
+            jnp.asarray(Xm),
+            None if forc is None else jnp.asarray(forc),
+            jnp.asarray(TS),
+            jnp.asarray(w_lat),
+            key,
+            target_interval=target_interval,
+            residual=residual,
+            members=members,
+            auxiliary=auxiliary,
+        )
+        agg_total += float(agg)
+        arr_np = np.asarray(arr)
+        arr_total = arr_np if arr_total is None else arr_total + arr_np
+        count += 1
+        if num_batches is not None and count >= num_batches:
+            break
+
+    return agg_total / count, arr_total / count
+
+
 def RMSE_rollout(
     param_sampler: Callable,
     params,

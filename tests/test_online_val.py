@@ -89,3 +89,75 @@ def test_trainer_online_validation(tmp_path):
     assert any(k.startswith("val/rmse/2m_temperature") for k in rec)
     days = rec["val/rmse/2m_temperature"]
     assert len(days) == 4 // 4 + 1 and all(np.isfinite(v) for v in days)
+
+
+def test_crps_rollout_matches_eval_metrics(tmp_path):
+    """CRPS_rollout's on-device fair-kernel CRPS must equal
+    eval.metrics.lat_weighted_crps (reference eval/metrics.py:68-105)
+    applied to the same replicated rollout, channel by channel."""
+    from swift_tpu.data.standardize import Standardizer
+    from swift_tpu.eval.metrics import lat_weighted_crps
+    from swift_tpu.training.validate import CRPS_rollout
+
+    root = make_synthetic_era5(
+        str(tmp_path / "data"), VARS, FORCINGS, n_train=12, n_val=16, shape=(H, W)
+    )
+    val_ds = ERA5RollOutDataset(
+        interval=8, root=root, variables=VARS, forcings=FORCINGS,
+        residual=True, split="val",
+    )
+    C = len(VARS)
+    M, B, steps = 3, 2, 8
+
+    def stub_sampler(params, cond, key, auxiliary=None):
+        base = jnp.tanh(cond[..., :C]) * 0.3
+        return base + 0.2 * jax.random.normal(key, base.shape)
+
+    samples = [val_ds[i] for i in range(B)]
+    X = np.stack([s[0] for s in samples])
+    TS = np.stack([s[1] for s in samples])
+    idx = np.arange(B)
+
+    key = jax.random.PRNGKey(7)
+    agg, arr = CRPS_rollout(
+        stub_sampler, {}, [(X, TS, idx)], val_ds,
+        target_interval=steps, key=key, members=M, num_batches=1,
+    )
+    n_days = steps // 4 + 1
+    assert arr.shape == (C, n_days)
+    assert np.isfinite(agg) and np.all(np.isfinite(arr))
+
+    # --- replicate the ensemble rollout in a plain host loop -------------
+    std = Standardizer.from_dataset(val_ds)
+    lat, _ = val_ds.get_lat_lon()
+    forc = np.stack(
+        [
+            np.stack(
+                [np.asarray(val_ds.standardize_x(val_ds.get_forcings(int(j) + i)))
+                 for i in range(steps)], 0)
+            for j in idx
+        ], 0,
+    ).astype(np.float32)
+    Xm = jnp.asarray(
+        np.repeat(X[None], M, axis=0).reshape(M * B, *X.shape[1:]))
+    keys = jax.random.split(key, steps)
+    expected = np.zeros((C, n_days))
+    for s in range(steps):
+        fstep = jnp.asarray(np.tile(forc[:, s], (M, 1, 1, 1)))
+        cond = jnp.concatenate([Xm, fstep], axis=-1)
+        Y = stub_sampler({}, cond, keys[s])
+        Y_un = std.unstd_t(Y)
+        Y_un = std.unstd_x(cond)[..., : std.n_variables] + Y_un
+        if (s + 1) % 4 == 0 or s == 0:
+            day = (s + 1) // 4
+            pred = np.asarray(Y_un).reshape(M, B, H, W, C)
+            for c in range(C):
+                expected[c, day] += lat_weighted_crps(
+                    pred[..., c].transpose(1, 0, 2, 3),
+                    TS[:, day, ..., c], lat,
+                )
+        Xm = std.std_x(Y_un)
+
+    np.testing.assert_allclose(arr, expected, rtol=2e-4, atol=1e-5)
+    # aggregate = sum over recorded steps of the channel-mean CRPS
+    np.testing.assert_allclose(agg, expected.mean(axis=0).sum(), rtol=2e-4)
