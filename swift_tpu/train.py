@@ -295,6 +295,7 @@ def main(argv=None):
         val_ticks=tcfg.get("val_ticks"),
         val_target_interval=int(tcfg.get("val_target_interval", 56)),
         val_variables=tcfg.get("val_variables"),
+        val_crps_members=int(tcfg.get("val_crps_members", 0) or 0),
         solver_kwargs=cfg.get("solver"),
         finetune_kwargs=finetune,
         teacher=teacher,

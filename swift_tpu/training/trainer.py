@@ -217,6 +217,7 @@ class Trainer:
         val_ticks: Optional[int] = 50,
         val_target_interval: int = 56,
         val_variables: Optional[list[str]] = None,
+        val_crps_members: int = 0,
         solver_kwargs: Optional[dict] = None,
         finetune_kwargs: Optional[dict] = None,
         teacher: Optional[Network] = None,
@@ -240,6 +241,10 @@ class Trainer:
         self.val_ticks = val_ticks
         self.val_target_interval = val_target_interval
         self.val_variables = val_variables
+        # opt-in ensemble CRPS during online val (beyond the reference,
+        # whose online val is RMSE-only — validate.py:23-127; CRPS exists
+        # only in its offline eval). 0 = off; >=2 = members per IC.
+        self.val_crps_members = int(val_crps_members)
         self.solver_kwargs = dict(solver_kwargs or {})
         self.finetune_kwargs = dict(finetune_kwargs or {})
         self.teacher = teacher
@@ -394,7 +399,7 @@ class Trainer:
         return self._step_cache[key]
 
     # ------------------------------------------------------------------
-    def _val_step(self, val_batches, val_dataset, cur_tick, global_nimg, val_jsonl):
+    def _val_step(self, val_batches_fn, val_dataset, cur_tick, global_nimg, val_jsonl):
         from swift_tpu.sampling.factory import param_sampler_factory
         from swift_tpu.training.validate import RMSE_rollout
 
@@ -404,7 +409,7 @@ class Trainer:
         agg, arr = RMSE_rollout(
             sampler,
             self.state.ema,
-            val_batches,
+            val_batches_fn(),
             val_dataset,
             self.val_target_interval,
             jax.random.PRNGKey(self.seed + cur_tick),
@@ -422,7 +427,6 @@ class Trainer:
             for day in range(n_days):
                 desc = "6h" if day == 0 else f"{day}day"
                 wandb_val[f"val/rmse/{desc}/{v}"] = float(var_map[v][day])
-        self.history.update(wandb_val, precision=4)
 
         val_metrics = {
             "train/kimg": int(global_nimg / 1e3),
@@ -430,6 +434,31 @@ class Trainer:
             **{f"val/rmse/{v}": [float(x) for x in var_map[v]] for v in selected},
             "val/rmse": float(agg),
         }
+
+        if self.val_crps_members >= 2:
+            from swift_tpu.training.validate import CRPS_rollout
+
+            cagg, carr = CRPS_rollout(
+                sampler,
+                self.state.ema,
+                val_batches_fn(),
+                val_dataset,
+                self.val_target_interval,
+                jax.random.PRNGKey(self.seed + cur_tick),
+                members=self.val_crps_members,
+                num_batches=1,
+            )
+            cvar = dict(zip(variables, carr))
+            val_metrics.update(
+                {f"val/crps/{v}": [float(x) for x in cvar[v]] for v in selected}
+            )
+            val_metrics["val/crps"] = float(cagg)
+            for v in selected:
+                for day in range(n_days):
+                    desc = "6h" if day == 0 else f"{day}day"
+                    wandb_val[f"val/crps/{desc}/{v}"] = float(cvar[v][day])
+
+        self.history.update(wandb_val, precision=4)
         logger.info(val_metrics)
         if is_main_process() and val_jsonl is not None:
             val_jsonl.write(json.dumps(val_metrics) + "\n")
@@ -562,7 +591,7 @@ class Trainer:
                 and cur_tick % self.val_ticks == 0
             ):
                 self._val_step(
-                    val_batches(), val_dataset, cur_tick, global_nimg, val_jsonl
+                    val_batches, val_dataset, cur_tick, global_nimg, val_jsonl
                 )
 
             tick_end_time = time.perf_counter()

@@ -63,6 +63,7 @@ def test_trainer_online_validation(tmp_path):
         total_kimg=1, kimg_per_tick=1, checkpoint_ticks=None,
         val_ticks=1, val_target_interval=4,
         val_variables=["2m_temperature", "geopotential_500"],
+        val_crps_members=2,
         solver_kwargs={"num_steps": 2, "sigma_min": 0.02, "sigma_max": 200.0,
                        "auxiliary": 0.6},
         run_dir=str(tmp_path / "run"),
@@ -89,6 +90,10 @@ def test_trainer_online_validation(tmp_path):
     assert any(k.startswith("val/rmse/2m_temperature") for k in rec)
     days = rec["val/rmse/2m_temperature"]
     assert len(days) == 4 // 4 + 1 and all(np.isfinite(v) for v in days)
+    # opt-in online ensemble CRPS (val_crps_members=2)
+    assert "val/crps" in rec and np.isfinite(rec["val/crps"])
+    cdays = rec["val/crps/2m_temperature"]
+    assert len(cdays) == 4 // 4 + 1 and all(np.isfinite(v) for v in cdays)
 
 
 def test_crps_rollout_matches_eval_metrics(tmp_path):
