@@ -115,8 +115,13 @@ def main():
     ap.add_argument("--samples", type=int, default=8)
     ap.add_argument("--gen-batch", type=int, default=2)
     ap.add_argument("--skip-train", action="store_true")
+    ap.add_argument("--run-id", default=None,
+                    help="override the results run id (default abconv{K}k); "
+                    "lets a re-scoped summary reuse legs trained under a "
+                    "different horizon name")
     ap.add_argument("--force", action="store_true")
     args = ap.parse_args()
+    run_id = args.run_id or f"abconv{args.kimg}k"
 
     from scripts.bench_generate import CACHE, setup
 
@@ -125,7 +130,7 @@ def main():
     dirs = {}
     for exp in EXPS:
         dirs[exp] = (
-            os.path.join("results", exp, f"abconv{args.kimg}k")
+            os.path.join("results", exp, run_id)
             if args.skip_train else train_one(exp, args)
         )
 

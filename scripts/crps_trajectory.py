@@ -100,6 +100,8 @@ def main():
     ap.add_argument("--interval", type=int, default=8,
                     help="rollout length in 6h steps (8 = 2 days)")
     ap.add_argument("--batch", type=int, default=4, help="ICs per leg")
+    ap.add_argument("--run-id", default=None,
+                    help="override the results run id (default abconv{K}k)")
     args = ap.parse_args()
 
     from swift_tpu.utils.io import setup_compilation_cache
@@ -108,7 +110,8 @@ def main():
 
     result = {}
     for exp in EXPS:
-        run_dir = os.path.join(REPO, "results", exp, f"abconv{args.kimg}k")
+        run_dir = os.path.join(
+            REPO, "results", exp, args.run_id or f"abconv{args.kimg}k")
         assert os.path.isdir(run_dir), f"missing leg {run_dir}"
         result[exp] = leg_trajectory(run_dir, args)
         # pair with the trainer's own per-tick val-RMSE
