@@ -102,7 +102,20 @@ def generate_one(run_dir: str, tag: str, int8: bool, args) -> str:
 def load_rows(path):
     if not os.path.exists(path):
         return []
-    return [json.loads(line) for line in open(path)]
+    rows = [json.loads(line) for line in open(path)]
+    # an aborted in-place resume appends rows that restart the tick count;
+    # keep only the original monotonic prefix so trajectories stay aligned.
+    out, last = [], -1
+    for r in rows:
+        t = r.get("val/tick", r.get("train/tick"))
+        if isinstance(t, dict):
+            t = t.get("mean")
+        t = -1 if t is None else float(t)
+        if t <= last:
+            break
+        last = t
+        out.append(r)
+    return out
 
 
 def main():

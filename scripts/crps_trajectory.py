@@ -117,9 +117,11 @@ def main():
         # pair with the trainer's own per-tick val-RMSE
         vs = os.path.join(run_dir, "val_stats.jsonl")
         if os.path.exists(vs):
+            from scripts.ab_convergence import load_rows
+
             result[exp]["val_rmse"] = [
-                round(float(json.loads(l).get("val/rmse", float("nan"))), 5)
-                for l in open(vs)
+                round(float(r.get("val/rmse", float("nan"))), 5)
+                for r in load_rows(vs)
             ]
 
     print("\n== per-tick val trajectories (CRPS members="
