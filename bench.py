@@ -249,6 +249,11 @@ def main():
     jax.config.update("jax_compilation_cache_dir", "/root/repo/.cache/jax")
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     log(f"devices: {jax.devices()}")
+    # the dev tunnel drops idle connections (~90 s); a cold run's long
+    # remote compiles would otherwise orphan the PJRT handle mid-bench.
+    from swift_tpu.utils.io import start_device_keepalive
+
+    start_device_keepalive()
 
     geometries = (
         ["parity", "hd128", "int8"] if GEOMETRY == "both" else [GEOMETRY]

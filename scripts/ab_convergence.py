@@ -137,8 +137,10 @@ def main():
     run_id = args.run_id or f"abconv{args.kimg}k"
 
     from scripts.bench_generate import CACHE, setup
+    from swift_tpu.utils.io import start_device_keepalive
 
     setup()
+    start_device_keepalive()
 
     dirs = {}
     for exp in EXPS:

@@ -104,9 +104,10 @@ def main():
                     help="override the results run id (default abconv{K}k)")
     args = ap.parse_args()
 
-    from swift_tpu.utils.io import setup_compilation_cache
+    from swift_tpu.utils.io import setup_compilation_cache, start_device_keepalive
 
     setup_compilation_cache()
+    start_device_keepalive()
 
     result = {}
     for exp in EXPS:

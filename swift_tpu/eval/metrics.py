@@ -165,6 +165,9 @@ def main(args=None):
     p.add_argument("--pred", required=True, help="prediction zarr store")
     args = p.parse_args(args)
 
+    from swift_tpu.utils.io import start_device_keepalive
+
+    start_device_keepalive()
     t0 = time.time()
     metrics = evaluate(args.truth, args.pred)
     print(f"evaluated in {time.time() - t0:.2f}s")

@@ -136,10 +136,11 @@ def build_store(args, dataset, indices, odir, filename):
 
 def main(args):
     from swift_tpu.parallel.mesh import maybe_initialize_distributed
-    from swift_tpu.utils.io import setup_compilation_cache
+    from swift_tpu.utils.io import setup_compilation_cache, start_device_keepalive
 
     maybe_initialize_distributed()
     setup_compilation_cache()
+    start_device_keepalive()
     cfg = cfglib.load_config(os.path.join(args.input, ".hydra", "config.yaml"))
     cfg = cfglib.resolve_interpolations(cfg)
 

@@ -118,10 +118,11 @@ def distill_setup(cfg: dict, dataset) -> Network | None:
 
 def main(argv=None):
     from swift_tpu.parallel.mesh import maybe_initialize_distributed
-    from swift_tpu.utils.io import setup_compilation_cache
+    from swift_tpu.utils.io import setup_compilation_cache, start_device_keepalive
 
     maybe_initialize_distributed()
     setup_compilation_cache()
+    start_device_keepalive()
     overrides = list(argv if argv is not None else sys.argv[1:])
     cfg = cfglib.compose("train", overrides)
 

@@ -321,7 +321,11 @@ def main(argv=None):
     from swift_tpu.data.samplers import AttributeSubset
     from swift_tpu.sampling.factory import param_sampler_factory
     from swift_tpu.utils.checkpoint import latest_checkpoint, load_checkpoint
-    from swift_tpu.utils.io import log0, setup_compilation_cache
+    from swift_tpu.utils.io import (
+        log0,
+        setup_compilation_cache,
+        start_device_keepalive,
+    )
 
     p = argparse.ArgumentParser()
     p.add_argument("--input", required=True, help="Input run directory")
@@ -334,6 +338,7 @@ def main(argv=None):
     args = p.parse_args(argv)
 
     setup_compilation_cache()
+    start_device_keepalive()
     cfg = cfglib.resolve_interpolations(
         cfglib.load_config(os.path.join(args.input, ".hydra", "config.yaml"))
     )

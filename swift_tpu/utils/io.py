@@ -60,6 +60,58 @@ def setup_compilation_cache(path: str = None):
         pass
 
 
+_keepalive_thread = None
+
+
+def start_device_keepalive(interval_s: float = 20.0):
+    """Keep the device connection alive through long host-side phases.
+
+    The dev-tunnel transport drops TCP connections that sit idle for
+    ~90 s (measured 2026-08-20: an op after a 90 s sleep hangs forever —
+    the PJRT client does not reconnect). Long host-side phases (loading a
+    2.7 GB checkpoint npz, building a truth zarr, scoring) therefore kill
+    the session's device handle. A daemon thread issuing one trivial
+    device op every ``interval_s`` prevents idle closure; on production
+    hosts (local PJRT/PCIe) it costs one ~µs add per interval. Disable
+    with SWIFT_DEVICE_KEEPALIVE=0. Idempotent per process.
+    """
+    global _keepalive_thread
+    if os.environ.get("SWIFT_DEVICE_KEEPALIVE", "1") == "0":
+        return None
+    if _keepalive_thread is not None and _keepalive_thread.is_alive():
+        return _keepalive_thread
+    import atexit
+    import threading
+
+    stop = threading.Event()
+
+    def _beat():
+        import jax
+        import jax.numpy as jnp
+
+        x = jnp.zeros((8,), jnp.float32)
+        while not stop.is_set():
+            try:
+                jax.block_until_ready(x + 1.0)
+            except Exception:
+                pass
+            stop.wait(interval_s)
+
+    _keepalive_thread = threading.Thread(
+        target=_beat, daemon=True, name="device-keepalive"
+    )
+    _keepalive_thread.start()
+
+    # a daemon thread mid-device-op at interpreter shutdown aborts the
+    # process ("FATAL: exception not rethrown"); stop it cleanly first.
+    def _stop():
+        stop.set()
+        _keepalive_thread.join(timeout=5.0)
+
+    atexit.register(_stop)
+    return _keepalive_thread
+
+
 def is_main_process() -> bool:
     try:
         import jax
