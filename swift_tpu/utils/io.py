@@ -97,19 +97,20 @@ def start_device_keepalive(interval_s: float = 20.0):
                 pass
             stop.wait(interval_s)
 
-    _keepalive_thread = threading.Thread(
+    thread = threading.Thread(
         target=_beat, daemon=True, name="device-keepalive"
     )
-    _keepalive_thread.start()
+    thread.start()
+    _keepalive_thread = thread
 
     # a daemon thread mid-device-op at interpreter shutdown aborts the
     # process ("FATAL: exception not rethrown"); stop it cleanly first.
     def _stop():
         stop.set()
-        _keepalive_thread.join(timeout=5.0)
+        thread.join(timeout=5.0)
 
     atexit.register(_stop)
-    return _keepalive_thread
+    return thread
 
 
 def is_main_process() -> bool:

@@ -100,3 +100,23 @@ def test_trainer_profile_writes_trace(tmp_path):
     tr.train(batches())
     prof = tmp_path / "profile"
     assert prof.exists() and any(prof.rglob("*")), "no profiler output written"
+
+
+def test_device_keepalive_starts_and_stops(monkeypatch):
+    # the dev-tunnel transport drops idle device connections (~90 s,
+    # CLAUDE.md rule 9); entry points hold the handle open with a
+    # heartbeat thread. On CPU just verify lifecycle + idempotency.
+    import time
+
+    from swift_tpu.utils import io as io_mod
+
+    monkeypatch.setattr(io_mod, "_keepalive_thread", None)
+    t = io_mod.start_device_keepalive(0.05)
+    assert t is not None and t.is_alive()
+    assert io_mod.start_device_keepalive(0.05) is t  # idempotent
+    time.sleep(0.2)  # let it beat a few times
+    assert t.is_alive()
+
+    monkeypatch.setenv("SWIFT_DEVICE_KEEPALIVE", "0")
+    monkeypatch.setattr(io_mod, "_keepalive_thread", None)
+    assert io_mod.start_device_keepalive(0.05) is None
