@@ -107,7 +107,11 @@ def load_checkpoint(path: str, template: Any) -> Any:
             raise ValueError(
                 f"shape mismatch for {key}: ckpt {arr.shape} vs template {np.shape(leaf)}"
             )
-        leaves.append(arr.astype(np.asarray(leaf).dtype) if hasattr(leaf, "dtype") else arr)
+        # read dtype WITHOUT np.asarray(leaf): device-resident template
+        # leaves would each be fetched to host (a ~1 GB transfer for the
+        # flagship through the 22 MB/s dev tunnel) just for their dtype.
+        dt = getattr(leaf, "dtype", None)
+        leaves.append(arr.astype(dt) if dt is not None else arr)
     return jax.tree_util.tree_unflatten(treedef, leaves)
 
 
