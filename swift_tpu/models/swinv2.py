@@ -389,7 +389,20 @@ class WindowAttention(nn.Module):
                     kp, ((0, 0), (0, 0), (0, 0), (0, dp - self.head_dim))
                 )
             kp = kp.reshape(x.shape[-1], self.heads * 3 * dp)
-            qkv = _proj(x, kp)
+            # tiled path: apply the odd-block cyclic shift to the dim-wide
+            # ACTIVATIONS before the projection rather than to the 3·inner-
+            # wide qkv after it — a token permutation commutes with the
+            # row-wise matmul (bit-exact), and the roll temporaries shrink
+            # 3x (at 0.25° that is the difference between the single-chip
+            # sCM step fitting and OOMing; PERF.md r5 ledger). The residual
+            # keeps the unrolled x; the output is un-rolled below.
+            pre_rolled = kind == "tiled" and (sh or sw)
+            if pre_rolled:
+                from swift_tpu.ops.pallas_block_attention import cyclic_roll2
+
+                qkv = _proj(cyclic_roll2(x, sh, sw, jvp=jvp), kp)
+            else:
+                qkv = _proj(x, kp)
             # column-parallel qkv: features are heads-major chunks, so
             # sharding them over `model` IS the per-head split.
             qkv = _wsc(qkv, self.mesh, self.data_axis, None, None, self.model_axis)
@@ -401,13 +414,16 @@ class WindowAttention(nn.Module):
                 ).astype(self.dtype)
             else:
                 from swift_tpu.ops.pallas_block_attention import (
+                    cyclic_roll2,
                     fused_tiled_block_attention,
                 )
 
                 out = fused_tiled_block_attention(
-                    qkv, logit_scale, self.heads, (wh, ww), (sh, sw),
+                    qkv, logit_scale, self.heads, (wh, ww), (0, 0),
                     jvp=jvp,
                 ).astype(self.dtype)
+                if pre_rolled:
+                    out = cyclic_roll2(out, -sh, -sw, jvp=jvp)
             # stay in the padded (heads·dp) layout: wo's rows get the same
             # zero padding, so the slice back to heads·d never materializes
             # (the attention kernel writes zeros in the pad lanes).

@@ -968,6 +968,27 @@ def _roll2_linear(sh: int, sw: int, gh: int, gw: int):
     return roll
 
 
+def cyclic_roll2(x, sh: int, sw: int, jvp: bool = False):
+    """Public single-pass cyclic roll by (-sh, -sw) on axes (1, 2).
+
+    The vjp path uses the custom-transpose roll (rolling the cotangent the
+    other way is ONE buffer); the jvp path uses the plain DUS chain, whose
+    native forward-mode rule is exact. Used by the model to roll the
+    shifted-window ACTIVATIONS before the qkv projection instead of rolling
+    the 3x-wider qkv tensor after it (a token permutation commutes with the
+    row-wise matmul — bit-exact): at 0.25° the roll temporaries drop from
+    3x1.5 GB to 3x0.5 GB in the remat'd backward, the difference between
+    the single-chip sCM step fitting and OOMing (PERF.md r5 ledger)."""
+    gh, gw = x.shape[1], x.shape[2]
+    sh %= gh
+    sw %= gw
+    if not (sh or sw):
+        return x
+    if jvp:
+        return _roll2_single_pass(x, sh, sw)
+    return _roll2_linear(sh, sw, gh, gw)(x)
+
+
 def fused_tiled_block_attention(qkv, scale, heads, window_size, shift=(0, 0),
                                 jvp=False):
     """Window-tiled fused block attention for grids too large for the
